@@ -1,0 +1,99 @@
+"""Crawl configuration.
+
+``CrawlConfig`` mirrors the reference's canonical option-defaults table
+(``lib/cobweb.rb:34-64``) plus the standalone-crawler extras
+(``lib/cobweb_crawler.rb:28-30``), re-expressed as a typed dataclass
+instead of the reference's ``method_missing`` option system
+(``lib/cobweb.rb:22-29``).
+
+Engine-only knobs (bloom sizing, politeness budget, snapshotting) have no
+reference analogue and are grouped at the bottom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from .patterns import LinkClassifier, compile_mime_patterns
+from .urls import default_internal_patterns
+
+
+@dataclass
+class CrawlConfig:
+    # --- reference options (lib/cobweb.rb:34-64) ---
+    follow_redirects: bool = True
+    redirect_limit: int = 10
+    internal_urls: list[str] = field(default_factory=list)
+    external_urls: list[str] = field(default_factory=list)
+    seed_urls: list[str] = field(default_factory=list)
+    text_mime_types: list[str] = field(
+        default_factory=lambda: ["text/*", "application/xhtml+xml"]
+    )
+    obey_robots: bool = False
+    user_agent: str = "cobweb"
+    valid_mime_types: list[str] = field(default_factory=lambda: ["*/*"])
+    treat_https_as_http: bool = True
+    first_page_redirect_internal: bool = True
+    crawl_limit: int | None = None
+    # only text/html counts toward crawl_limit (lib/crawl.rb:50-53,173-182)
+    crawl_limit_by_page: bool = False
+    # standalone-only: fetch (but don't expand) external links found on
+    # internal pages (lib/cobweb_crawler.rb:28,108)
+    crawl_linked_external: bool = False
+    store_inbound_links: bool = True
+
+    # --- corpus/fetch model (replaces the live HTTP layer) ---
+    # What a URL absent from the corpus returns. 404 with an EMPTY mime
+    # mirrors the reference spec suite's file server: a missing-path 404
+    # yields mime_type "" (lib/cobweb.rb:216-217), which fails even the
+    # "*/*" permitted-type check (compiled regex ".*?/.*?" needs a slash,
+    # lib/crawl_object.rb:11-16) — that is how the golden site crawl counts
+    # 77 processed objects while also fetching the dead /secure link.
+    # Set missing_status=0 to model SocketError rows (lib/cobweb.rb:270-284).
+    missing_status: int = 404
+    missing_mime: str = ""
+    # mark the redirect-final URL crawled too (lib/crawl_helper.rb:35-39)
+    mark_redirect_final_crawled: bool = True
+
+    # --- engine knobs (no reference analogue) ---
+    # max URLs fetched per host per wave; None = unlimited (politeness
+    # token budget; the deterministic analogue of a per-host delay)
+    host_budget: int | None = None
+    shuffle_partitions: int = 32
+    # seen-membership prefilter tier
+    bloom_shards: int = 32
+    bloom_capacity_per_shard: int = 1 << 17
+    bloom_fpp: float = 0.01
+    use_seen_prefilter: bool = True
+    # snapshot/resume
+    state_dir: str | None = None
+    checkpoint_every: int = 1  # waves between snapshot commits
+    max_waves: int = 10_000
+
+    def resolved_internal_urls(self, base_url: str | None) -> list[str]:
+        """internal_urls defaulting from base_url (lib/cobweb.rb:77-82,
+        lib/cobweb_crawler.rb:47-48)."""
+        if self.internal_urls:
+            return list(self.internal_urls)
+        if base_url is None:
+            return []
+        return default_internal_patterns(base_url)
+
+    def classifier(self, base_url: str | None) -> LinkClassifier:
+        return LinkClassifier.compile(
+            self.resolved_internal_urls(base_url),
+            self.external_urls,
+            self.treat_https_as_http,
+        )
+
+    @property
+    def valid_mime_re(self) -> str:
+        return compile_mime_patterns(self.valid_mime_types)
+
+    @property
+    def text_mime_re(self) -> str:
+        """text-content predicate (lib/cobweb.rb:471-476)."""
+        return compile_mime_patterns(self.text_mime_types)
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)

@@ -1,0 +1,167 @@
+"""URL utilities shared by the Spark pandas UDFs and the pure-Python oracle.
+
+Semantics mirror the reference crawler's URL handling:
+
+* ``canonicalize``      — ``Addressable::URI#normalize!`` + ``fragment=nil``
+                          as done before every fetch (reference
+                          ``lib/cobweb.rb:124-127``).
+* ``join_no_fragment``  — ``Addressable::URI.join`` + fragment strip
+                          (reference ``lib/uri_helper.rb:4-8``).
+* ``default_internal_patterns`` — the two wildcard patterns derived from a
+                          base URL on crawl start (``lib/cobweb.rb:77-82``).
+
+Pure Python (stdlib only) so the exact same code runs driver-side, in the
+oracle, and inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# RFC 3986 unreserved characters: never percent-encoded in a normalized URL.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _normalize_pct(component: str) -> str:
+    """Normalize percent-encoding: decode unreserved chars, uppercase hex."""
+
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, component)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, as Addressable normalize does."""
+    output: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1) if path.startswith("/") else path.find("/")
+            if i == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:i])
+                path = path[i:]
+    return "".join(output)
+
+
+@lru_cache(maxsize=65536)
+def canonicalize(url: str) -> str:
+    """Canonical form used as the fetch key (== ``documents.doc_id``).
+
+    Mirrors ``Addressable::URI.parse(url).normalize!; fragment=nil``
+    (reference ``lib/cobweb.rb:124-127``): lowercase scheme/host, strip
+    default port, drop fragment, normalize percent-encoding, remove dot
+    segments, and give authority-URLs an explicit "/" path.
+    """
+    if url is None:
+        return None
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    netloc = host
+    if parts.port is not None and parts.port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{parts.port}"
+    if parts.username:
+        cred = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{cred}@{netloc}"
+    path = _normalize_pct(parts.path)
+    path = _remove_dot_segments(path)
+    if netloc and not path:
+        path = "/"
+    query = _normalize_pct(parts.query) if parts.query else parts.query
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def join_no_fragment(base: str, link: str) -> str | None:
+    """Absolutize ``link`` against ``base`` and strip the fragment.
+
+    Mirrors ``UriHelper.join_no_fragment`` (``lib/uri_helper.rb:4-8``):
+    no normalization happens here — the queued-URL strings the reference
+    stores in its seen-sets are *absolutized but not normalized*.
+    Returns None when the join is impossible (reference drops nils,
+    ``lib/content_link_parser.rb:49``).
+    """
+    try:
+        if link is None:
+            return None
+        joined = urljoin(base or "", link)
+        # strip fragment only; leave everything else untouched
+        hash_idx = joined.find("#")
+        if hash_idx != -1:
+            joined = joined[:hash_idx]
+        return joined
+    except (ValueError, AttributeError):
+        return None
+
+
+def host_of(url: str) -> str:
+    """Lowercased host (with non-default port) — the politeness shard key."""
+    try:
+        parts = urlsplit(url)
+        host = (parts.hostname or "").lower()
+        if parts.port is not None and parts.port != _DEFAULT_PORTS.get(
+            parts.scheme.lower()
+        ):
+            host = f"{host}:{parts.port}"
+        return host
+    except ValueError:
+        return ""
+
+
+def default_internal_patterns(base_url: str) -> list[str]:
+    """Wildcard internal_urls derived from the base URL on crawl start.
+
+    Mirrors ``lib/cobweb.rb:77-82``: ``scheme://host/*`` and
+    ``scheme://host:inferred_port/*``.
+    """
+    parts = urlsplit(base_url)
+    scheme = parts.scheme
+    host = parts.hostname or ""
+    port = parts.port or _DEFAULT_PORTS.get(scheme.lower(), 80)
+    return [f"{scheme}://{host}/*", f"{scheme}://{host}:{port}/*"]
+
+
+# Link-loop rejection patterns — reference ``lib/content_link_parser.rb:51-52``.
+# Kept as raw strings usable both by Python ``re`` and Spark/Java ``rlike``
+# (both support lazy quantifiers and backreferences with identical semantics
+# for these patterns).
+LOOP_RE_1 = r"/([^/]+?)/\1/"
+LOOP_RE_2 = r"([^/]+?)/([^/]+?)/.*?\1/\2"
+
+_loop1 = re.compile(LOOP_RE_1)
+_loop2 = re.compile(LOOP_RE_2)
+
+
+def is_link_loop(url: str) -> bool:
+    """True if the URL trips either repeated-segment pattern."""
+    return bool(_loop1.search(url) or _loop2.search(url))
