@@ -1,0 +1,130 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): URLs fetched+deduped per second, measured
+by a full BFS crawl of the T4 scale corpus (seeded synthetic web graph with
+a zipf mega-host) — the whole engine path: admission, fetch join, limit
+gates, span extraction, classification, seen anti-join, discovery-order
+assignment. Secondary timings cover the training-data operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]),
+COBWEB_BENCH_HOSTS/PAGES (corpus size), COBWEB_BENCH_BUDGET (politeness).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+SCALE_PARAMS = dict(
+    n_hosts=int(os.environ.get("COBWEB_BENCH_HOSTS", "40")),
+    pages_per_host=int(os.environ.get("COBWEB_BENCH_PAGES", "300")),
+    mega_host_factor=20,
+    out_degree=12,
+    media_ratio=0.25,
+    cross_host_prob=0.10,
+    seed=42,
+)
+
+
+def main() -> dict:
+    from pyspark.sql import functions as F
+
+    from cobweb_spark.config import CrawlConfig
+    from cobweb_spark.operators import similarity, textops
+    from cobweb_spark.operators.extract import extract_links
+    from cobweb_spark.plans.crawler import SparkCrawler
+    from cobweb_spark.session import get_spark
+    from cobweb_spark.sources.corpus import cached_scale_corpus, load_documents
+
+    spark = get_spark(app_name="cobweb-bench")
+    timings: dict[str, float] = {}
+
+    corpus_path, seeds = cached_scale_corpus(**SCALE_PARAMS)
+    docs = load_documents(spark, corpus_path)
+    docs.cache().count()
+
+    # --- headline: full crawl, URLs fetched+deduped/sec ---
+    budget = os.environ.get("COBWEB_BENCH_BUDGET")
+    cfg = CrawlConfig(
+        internal_urls=["http://*"],
+        seed_urls=seeds,
+        host_budget=int(budget) if budget else None,
+        store_inbound_links=False,
+    )
+    t0 = time.time()
+    res = SparkCrawler(spark, docs, cfg).crawl(None)
+    n_fetched = res.pages.count()
+    n_seen = res.seen.count()
+    t_crawl = time.time() - t0
+    timings["crawl_scale"] = round(t_crawl, 3)
+    urls_per_sec = round(n_fetched / t_crawl, 1)
+
+    # --- extraction-only throughput (links extracted/sec) ---
+    t0 = time.time()
+    ex_input = docs.select(
+        F.col("doc_id").alias("parent"),
+        F.col("doc_id").alias("parent_url"),
+        F.lit(0).cast("long").alias("parent_fetch_order"),
+        F.lit(0).alias("parent_depth"),
+        "spans",
+    )
+    n_links = extract_links(ex_input).count()
+    timings["extract_all_links"] = round(time.time() - t0, 3)
+
+    # --- training-data ops at SF_DIR ---
+    sf_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sf_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sf_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    t0 = time.time()
+    textops.minhash_signatures(sf_docs).agg(F.count(F.lit(1))).collect()
+    timings["dedup_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.lsh_near_dup_pairs(sf_docs).count()
+    timings["dedup_lsh_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textops.quality_scores(sf_docs).agg(F.avg("stopword_ratio")).collect()
+    timings["text_quality"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.cosine_topk(sf_emb, query_ids=[0, 1, 2, 3, 4], k=5).count()
+    timings["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sf_events.groupBy(
+        F.date_trunc("minute", "ts"), "event_type"
+    ).count().count()
+    timings["events_minute_counts"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": urls_per_sec,
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "crawl": {
+            "fetched": n_fetched,
+            "seen": n_seen,
+            "waves": res.n_waves,
+            "links_extracted_total": n_links,
+            "corpus": SCALE_PARAMS,
+            "cpus": CPUS,
+            "politeness_budget": budget,
+        },
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

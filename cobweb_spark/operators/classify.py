@@ -1,0 +1,129 @@
+"""Candidate-link classification and selection — all JVM-side ``rlike``.
+
+Replays the reference's per-link selection pipeline
+(``lib/cobweb_crawler.rb:105-120`` / ``lib/crawl.rb:119-130``):
+
+1. internal? — matches an internal pattern AND no external pattern
+   (patterns compiled driver-side into two alternation regexes)
+2. crawl_linked_external disjunct (parent internal, link not external)
+3. https→http normalization (treat_https_as_http)
+4. robots-allow gate (when obey_robots) via broadcast join on host
+
+The "cheap filter first" tactic the reference hand-codes
+(regex classification before the expensive seen lookups,
+``lib/cobweb_crawler.rb:105``) falls out of plan order here: rlike filters
+run before the anti-join and Catalyst keeps them pushed ahead of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.url_udfs import host_udf
+from ..patterns import LinkClassifier, escape_pattern_for_regex
+
+
+def select_internal(
+    candidates: DataFrame, classifier: LinkClassifier, cfg: CrawlConfig
+) -> DataFrame:
+    """Filter candidates to enqueueable links and normalize https→http."""
+    link = F.col("link")
+    is_internal = link.rlike(classifier.internal_re) & ~link.rlike(
+        classifier.external_re
+    )
+    if cfg.crawl_linked_external:
+        parent = F.col("parent")
+        parent_internal = parent.rlike(
+            classifier.internal_re
+        ) & ~parent.rlike(classifier.external_re)
+        cond = is_internal | (
+            parent_internal & ~link.rlike(classifier.external_re)
+        )
+    else:
+        cond = is_internal
+    out = candidates.filter(cond)
+    if cfg.treat_https_as_http:
+        out = out.withColumn(
+            "link", F.regexp_replace("link", "^https", "http")
+        )
+    return out.filter(F.col("link") != "")
+
+
+def robots_gate(
+    candidates: DataFrame, robots: DataFrame | None, cfg: CrawlConfig
+) -> DataFrame:
+    """Reject links disallowed by per-host robots rules.
+
+    Rules (host, user_agent, rule, pattern, rank) are compiled driver-side
+    into per-host (allow_re, disallow_re) pairs — allow checked first, then
+    disallow, else allowed (``lib/robots.rb:28-37``; user-agent fallback to
+    ``*`` per ``lib/robots.rb:17-21``) — then broadcast-joined on host and
+    evaluated with JVM rlike. The rules table is tiny relative to the link
+    stream, so this is a broadcast hash join with no shuffle.
+    """
+    if not cfg.obey_robots or robots is None:
+        return candidates
+    spark = candidates.sparkSession
+    rows = robots.collect()
+    by_host: dict[str, dict[str, dict[str, list]]] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], {}).setdefault(
+            r["user_agent"].lower(), {"allow": [], "disallow": []}
+        )[r["rule"]].append((r["rank"], r["pattern"]))
+    compiled = []
+    ua = cfg.user_agent.lower()
+    for host, uas in by_host.items():
+        params = uas.get(ua) or uas.get("*")
+        if params is None:
+            continue
+        allow_re = (
+            "|".join(
+                escape_pattern_for_regex(p)
+                for _rk, p in sorted(params["allow"])
+            )
+            or "(?!)"
+        )
+        disallow_re = (
+            "|".join(
+                escape_pattern_for_regex(p)
+                for _rk, p in sorted(params["disallow"])
+            )
+            or "(?!)"
+        )
+        compiled.append((host, allow_re, disallow_re))
+    if not compiled:
+        return candidates
+    rules_df = spark.createDataFrame(
+        compiled, "host string, allow_re string, disallow_re string"
+    )
+    with_host = candidates.withColumn("__host", host_udf("link"))
+    path = F.parse_url(F.col("link"), F.lit("PATH"))
+    joined = with_host.join(
+        F.broadcast(rules_df),
+        with_host["__host"] == rules_df["host"],
+        "left",
+    )
+    allowed = (
+        F.col("allow_re").isNull()
+        | F.rlike(path, F.col("allow_re"))
+        | ~F.rlike(path, F.col("disallow_re"))
+    )
+    return joined.filter(allowed).drop(
+        "__host", "host", "allow_re", "disallow_re"
+    )
+
+
+def first_discovery_wins(candidates: DataFrame) -> DataFrame:
+    """Intra-wave dedup: the earliest (parent fetch order, position)
+    discovery of a URL wins — the wave-model analogue of the reference's
+    per-link re-check under lock (``lib/crawl.rb:132-138``)."""
+    w = Window.partitionBy("link").orderBy(
+        "parent_fetch_order", "position"
+    )
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

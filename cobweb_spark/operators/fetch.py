@@ -1,0 +1,223 @@
+"""The "fetch" operator: frontier ⋈ documents with redirect resolution.
+
+A fetch wave is a left equi-join of the admitted frontier against the
+corpus metadata on the canonicalized URL (the analogue of ``Cobweb#get``,
+``lib/cobweb.rb:122-304``). Redirects are a bounded driver loop of
+re-joins over the shrinking still-redirecting subset, accumulating the
+``redirect_through`` chain (``lib/cobweb.rb:188-207``); redirect-limit
+exhaustion produces the reference's status-0 ``error/dnslookup`` row
+(``lib/cobweb.rb:251-268``).
+
+Scale notes: only metadata columns are joined here (spans are joined later,
+for the limit-cut survivors only — column pruning keeps the scan narrow);
+the join key is the canonical URL so AQE picks hash vs broadcast; the
+redirect loop degrades gracefully (hop populations shrink geometrically and
+each round is checkpointed to cut lineage).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..config import CrawlConfig
+from ..functions.url_udfs import canonicalize_udf
+from ..urls import canonicalize, join_no_fragment
+
+META_COLS = [
+    "doc_id",
+    "status_code",
+    "mime_type",
+    "character_set",
+    "length",
+    "response_time",
+    "location",
+]
+
+
+@pandas_udf(StringType())
+def _join_canon_udf(base: pd.Series, link: pd.Series) -> pd.Series:
+    """canonicalize(join_no_fragment(base, link)) — the redirect hop target
+    (lib/cobweb.rb:191: UriHelper.join_no_fragment(uri, response['location']))."""
+    out = [
+        canonicalize(join_no_fragment(b, l)) if b is not None else None
+        for b, l in zip(base, link)
+    ]
+    return pd.Series(out, dtype="object")
+
+
+def fetch_meta(
+    frontier: DataFrame, documents: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Join frontier against corpus metadata, resolving redirect chains.
+
+    Input frontier columns: url, host, depth, discovery_order, parent,
+    wave_rank (dense rank within the wave). Output adds: fetch_url (final
+    canonical URL), base_url (initial canonical URL), status_code,
+    mime_type, character_set, length, response_time, location,
+    redirect_through, error, text_content, permitted.
+    """
+    meta = documents.select(*META_COLS)
+
+    cur = (
+        frontier.withColumn("fetch_url", canonicalize_udf("url"))
+        .withColumn("base_url", canonicalize_udf("url"))
+        .withColumn("redirect_through", F.lit(None).cast("array<string>"))
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+    cur = cur.join(meta, cur.fetch_url == meta.doc_id, "left").drop("doc_id")
+
+    is_redirect = (
+        F.col("status_code").isNotNull()
+        & (F.col("status_code") >= 300)
+        & (F.col("status_code") < 400)
+        & F.lit(bool(cfg.follow_redirects))
+    )
+
+    done_parts: list[DataFrame] = []
+    hops_allowed = max(int(cfg.redirect_limit or 10) - 1, 0)
+    for _hop in range(hops_allowed):
+        done_parts.append(cur.filter(~is_redirect))
+        redirecting = cur.filter(is_redirect)
+        if redirecting.isEmpty():
+            cur = None
+            break
+        redirecting = (
+            redirecting.withColumn(
+                "next_url", _join_canon_udf("fetch_url", "location")
+            )
+            .withColumn(
+                "redirect_through",
+                F.concat(
+                    F.coalesce(
+                        "redirect_through", F.array(F.col("fetch_url"))
+                    ),
+                    F.array(F.col("next_url")),
+                ),
+            )
+            .drop(*[c for c in META_COLS if c != "doc_id"], "fetch_url")
+            .withColumnRenamed("next_url", "fetch_url")
+        )
+        cur = (
+            redirecting.join(
+                meta, redirecting.fetch_url == meta.doc_id, "left"
+            )
+            .drop("doc_id")
+            .localCheckpoint(eager=False)
+        )
+
+    if cur is not None:
+        done_parts.append(cur.filter(~is_redirect))
+        # redirect-limit exhausted: status-0 error rows
+        # (lib/cobweb.rb:197,251-268). With zero hops taken (redirect_limit
+        # == 1) the reported URL is the refused *target*, matching the
+        # reference's rescue building content[:url] from the joined uri.
+        exhausted = (
+            cur.filter(is_redirect)
+            .withColumn(
+                "fetch_url",
+                F.when(
+                    F.col("redirect_through").isNull(),
+                    _join_canon_udf("fetch_url", "location"),
+                ).otherwise(F.col("fetch_url")),
+            )
+            .withColumn("status_code", F.lit(0))
+            .withColumn("mime_type", F.lit("error/dnslookup"))
+            .withColumn("character_set", F.lit(None).cast("string"))
+            .withColumn("length", F.lit(0).cast("long"))
+            .withColumn("response_time", F.lit(0.0))
+            .withColumn("location", F.lit(None).cast("string"))
+            .withColumn("error", F.lit("Redirect Limit reached"))
+        )
+        done_parts.append(exhausted)
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+
+    # rows absent from the corpus: the missing-path response
+    # (404 + empty mime by default — see CrawlConfig.missing_status)
+    missing_mime = (
+        cfg.missing_mime if cfg.missing_status != 0 else "error/dnslookup"
+    )
+    # materialize the found flag BEFORE any withColumn overwrites
+    # status_code — later expressions must not see the patched value
+    out = out.withColumn("__found", F.col("status_code").isNotNull())
+    found = F.col("__found")
+    out = (
+        out.withColumn(
+            "error",
+            F.when(found, F.col("error")).otherwise(
+                F.lit("not in corpus" if cfg.missing_status == 0 else None)
+            ),
+        )
+        .withColumn(
+            "mime_type",
+            F.when(found, F.col("mime_type")).otherwise(F.lit(missing_mime)),
+        )
+        .withColumn(
+            "status_code",
+            F.when(found, F.col("status_code")).otherwise(
+                F.lit(cfg.missing_status)
+            ),
+        )
+        .withColumn(
+            "length",
+            F.when(found, F.col("length")).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "response_time",
+            F.when(found, F.col("response_time")).otherwise(F.lit(0.0)),
+        )
+        .drop("__found")
+    )
+
+    mime = F.coalesce(F.col("mime_type"), F.lit(""))
+    out = out.withColumn(
+        "text_content", mime.rlike(cfg.text_mime_re)
+    ).withColumn("permitted", mime.rlike(cfg.valid_mime_re))
+    return out
+
+
+def apply_crawl_limit_cut(
+    fetched: DataFrame, cfg: CrawlConfig, remaining: int | None
+) -> tuple[DataFrame, bool]:
+    """Cut the wave to the sequential crawl-limit prefix.
+
+    The reference checks ``crawl_counter < limit`` before *every* fetch
+    (``lib/crawl.rb:69``; by-page variant counts only text/html,
+    ``lib/crawl.rb:173-182``), so the fetched set is the ordered prefix in
+    which fewer than ``remaining`` countable rows precede each row
+    (inclusive of the row that reaches the limit). Implemented as a
+    top-k (TakeOrderedAndProject) over countable rows — no global window.
+
+    Returns (cut wave, limit_hit).
+    """
+    if remaining is None:
+        return fetched, False
+    if remaining <= 0:
+        return fetched.limit(0), True
+
+    if cfg.crawl_limit_by_page:
+        countable = F.coalesce(F.col("mime_type"), F.lit("")).rlike(
+            "text/html"
+        )
+    else:
+        countable = F.lit(True)
+
+    top = (
+        fetched.filter(countable)
+        .orderBy("wave_rank")
+        .limit(int(remaining))
+        .agg(
+            F.max("wave_rank").alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    if top["n"] is None or top["n"] < remaining:
+        return fetched, False  # whole wave fits
+    return fetched.filter(F.col("wave_rank") <= top["t"]), True

@@ -1,0 +1,155 @@
+"""Distributed seen-set filter bank: the bloom/cuckoo prefilter tier.
+
+State is a ``filters`` DataFrame of one row per shard::
+
+    shard int, bloom binary, n_keys long, cuckoo binary
+
+maintained and probed with ``cogroup().applyInPandas`` — per-shard batches
+of keys meet their shard's bitset inside an Arrow-batched pandas function,
+so membership testing never broadcasts the full bank and never joins the
+blob onto candidate rows. Keys are ``xxhash64(url)`` computed JVM-side;
+shard = pmod(key, n_shards).
+
+At the 10^10-URL design point: 4096 shards × (bloom sized for n/4096 keys
+at 1% fpp) ≈ 3 GB of filter state total, co-partitioned with the candidate
+stream — each wave touches only the shards its candidates hash to. The
+exact ``seen`` anti-join stays as the correctness backstop (bloom hits are
+*probable*; misses are definite).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..filters_np import ShardFilter
+
+FILTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("bloom", T.BinaryType()),
+        T.StructField("n_keys", T.LongType()),
+        T.StructField("cuckoo", T.BinaryType()),
+    ]
+)
+
+
+class SeenFilterBank:
+    def __init__(
+        self,
+        spark: SparkSession,
+        n_shards: int = 32,
+        capacity_per_shard: int = 1 << 17,
+        fpp: float = 0.01,
+    ):
+        self.spark = spark
+        self.n_shards = n_shards
+        self.capacity = capacity_per_shard
+        self.fpp = fpp
+        self.filters = spark.createDataFrame([], FILTERS_SCHEMA)
+
+    # -- helpers -----------------------------------------------------------
+    def _keyed(self, df: DataFrame, key_col: str) -> DataFrame:
+        return df.withColumn(
+            "__key", F.xxhash64(F.col(key_col))
+        ).withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_shards)).cast(
+                "int"
+            ),
+        )
+
+    def _load_shard(self, fpdf: pd.DataFrame) -> ShardFilter:
+        if len(fpdf) == 0:
+            return ShardFilter(self.capacity, self.fpp)
+        row = fpdf.iloc[0]
+        return ShardFilter.from_state(
+            bytes(row["bloom"]),
+            int(row["n_keys"]),
+            bytes(row["cuckoo"]),
+            self.capacity,
+            self.fpp,
+        )
+
+    # -- maintenance -------------------------------------------------------
+    def add(self, urls: DataFrame, key_col: str = "url") -> None:
+        """Fold new URLs into the per-shard filters (cogroup merge)."""
+        keyed = self._keyed(urls, key_col).select("__shard", "__key")
+        cap, fpp = self.capacity, self.fpp
+
+        def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            shard = int(
+                left["__shard"].iloc[0]
+                if len(left)
+                else right["shard"].iloc[0]
+            )
+            sf = (
+                SeenFilterBank._load_static(right, cap, fpp)
+            )
+            if len(left):
+                sf.add(left["__key"].values)
+            bloom, n_keys, cuckoo = sf.to_state()
+            return pd.DataFrame(
+                {
+                    "shard": [shard],
+                    "bloom": [bloom],
+                    "n_keys": [n_keys],
+                    "cuckoo": [cuckoo],
+                }
+            )
+
+        merged = (
+            keyed.groupBy("__shard")
+            .cogroup(self.filters.groupBy("shard"))
+            .applyInPandas(merge, FILTERS_SCHEMA)
+        )
+        self.filters = merged.localCheckpoint()
+
+    @staticmethod
+    def _load_static(fpdf: pd.DataFrame, cap: int, fpp: float) -> ShardFilter:
+        if len(fpdf) == 0:
+            return ShardFilter(cap, fpp)
+        row = fpdf.iloc[0]
+        return ShardFilter.from_state(
+            bytes(row["bloom"]),
+            int(row["n_keys"]),
+            bytes(row["cuckoo"]),
+            cap,
+            fpp,
+        )
+
+    # -- probing -----------------------------------------------------------
+    def mark_probable(self, df: DataFrame, key_col: str) -> DataFrame:
+        """Append ``__maybe_seen`` boolean: False ⇒ definitely unseen."""
+        keyed = self._keyed(df, key_col)
+        out_schema = T.StructType(
+            keyed.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]
+        )
+        cap, fpp = self.capacity, self.fpp
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(columns=[f.name for f in out_schema])
+            sf = SeenFilterBank._load_static(right, cap, fpp)
+            left = left.copy()
+            left["__maybe_seen"] = sf.contains(left["__key"].values)
+            return left
+
+        probed = (
+            keyed.groupBy("__shard")
+            .cogroup(self.filters.groupBy("shard"))
+            .applyInPandas(probe, out_schema)
+        )
+        return probed.drop("__key", "__shard")
+
+    # -- persistence (snapshot integration) --------------------------------
+    def save(self, path: str) -> None:
+        self.filters.write.mode("overwrite").parquet(path)
+
+    def load(self, path: str) -> None:
+        self.filters = self.spark.read.schema(FILTERS_SCHEMA).parquet(
+            path
+        ).localCheckpoint()

@@ -1,0 +1,69 @@
+"""Deterministic dense sequence assignment (discovery_order / fetch_order).
+
+``monotonically_increasing_id`` is nondeterministic across retries and not
+dense; a single global window is a one-partition bottleneck. This uses the
+classic scalable construction: range-partition on the (unique, total) sort
+key, count rows per partition (one tiny job over the reused shuffle), then
+add per-partition offsets in a mapInPandas — each partition numbers its rows
+independently. Determinism holds because the sort key is unique: range
+partitioning + within-partition sort give one global total order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def zip_with_order(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str,
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = start, start+1, ... in ``sort_cols`` order.
+
+    ``sort_cols`` must be a total (duplicate-free) ordering key.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    d = d.localCheckpoint(eager=False)
+
+    counts = (
+        d.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    )
+    by_pid = {r["__pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = start
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def add_order(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            pdf[out_col] = np.arange(
+                base + seen, base + seen + len(pdf), dtype=np.int64
+            )
+            seen += len(pdf)
+            yield pdf
+
+    return d.mapInPandas(add_order, schema)

@@ -1,0 +1,284 @@
+"""Training-data text operators over the flat ``documents`` table.
+
+The large-scale pipeline surface beyond the reference's own operators:
+token counting, quality scoring, language-ID, fingerprinting, exact and
+near deduplication (MinHash/LSH, SimHash, token Jaccard). Everything is
+built from JVM expressions (split/explode/groupBy/md5) so the hot path
+stays in whole-stage codegen; all hashing derives from md5 so the DuckDB
+oracle SQL computes bit-identical values.
+
+Cross-engine hash convention: ``h(s) = int(md5(s)[:15], 16)`` — 60 bits,
+positive in both engines (Spark: conv(substr(md5(x),1,15),16,10) cast
+bigint; DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic MinHash parameters: universal hashing mod the Mersenne
+# prime 2^31-1 over 31-bit token hashes — products stay < 2^48, exactly
+# representable in BIGINT in both Spark and DuckDB (no overflow, no
+# decimal/hugeint divergence between engines)
+MINHASH_K = 8
+MH_PRIME = (1 << 31) - 1
+MH_A = [100003 + 6 * j for j in range(MINHASH_K)]
+MH_B = [15485863 + 7 * j for j in range(MINHASH_K)]
+
+SIMHASH_BITS = 16
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "you", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+}
+
+
+def _h(col):
+    """60-bit md5-derived hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword proxy count (runs of
+    letters / digits / single punctuation — a tokenizer-shaped regex)."""
+    return documents.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_subtokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, punctuation density, stopword
+    ratio, mean word length — the standard cheap pre-filter columns."""
+    n_tokens = F.size(_tokens())
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), 0)
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")),
+            F.lit(r"\b(?:" + "|".join(STOPWORDS["en"]) + r")\b"),
+            0,
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            (F.length("text") - n_tokens + 1)
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """N-gram/stopword-heuristic language ID: score = stopword hits per
+    language wordlist; argmax wins (ties broken by language code)."""
+    scores = [
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")),
+                F.lit(r"\b(?:" + "|".join(words) + r")\b"),
+                0,
+            )
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:  # first max wins, alphabetical
+        pred = pred.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        pred.alias("lang_pred"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (the exact-dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy on the fingerprint: one keeper (min
+    doc_id) per group + group size. Analogue of the reference's seen-set
+    exactness tier, applied to content instead of URLs."""
+    fp = fingerprints(documents)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def _token_hashes(documents: DataFrame) -> DataFrame:
+    """distinct (doc_id, token) with the 60-bit token hash."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).where(F.col("token") != "")
+    return toks.distinct().withColumn("th", _h(F.col("token")))
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-permutation MinHash over the distinct token set.
+
+    sig_j = min over tokens of (a_j * h(token) + b_j) mod p — one
+    partial-aggregatable groupBy (map-side combine), no UDF.
+    """
+    th = _token_hashes(documents)
+    aggs = [
+        F.min(
+            (F.col("th") % MH_PRIME * MH_A[j] + MH_B[j]) % MH_PRIME
+        ).alias(f"mh_{j}")
+        for j in range(k)
+    ]
+    return th.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_near_dup_pairs(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    Scale shape: the O(n²) comparison collapses to equi-joins on
+    (band_id, band_signature); only same-bucket docs pair up.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(documents, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.concat_ws("_", *parts).alias(f"band_{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band_{b}").alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_sig")
+    a = stacked.alias("a")
+    c = stacked.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_sig") == F.col("c.band_sig"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over tokens: per-bit majority vote of token hashes."""
+    th = _token_hashes(documents)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_sums)
+    value = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(0)
+        value = term if value is None else (value + term)
+    return agg.select("doc_id", value.cast("bigint").alias("simhash"))
+
+
+def jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs sharing ≥1 token.
+
+    intersection via self-join on token, |A∪B| = |A|+|B|−|A∩B|. The
+    per-token join is the scalable route (no cross join); mega-tokens
+    (stopwords) are the skew risk — AQE skew-join splits them.
+    """
+    th = _token_hashes(documents).select("doc_id", "token")
+    sizes = th.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = th.alias("a"), th.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    )
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out

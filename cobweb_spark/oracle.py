@@ -262,10 +262,8 @@ class CrawlOracle:
 
         seen: set = set(seeds)
         crawled: set = set()
-        # frontier entries: (depth, discovery_order, url, parent, expand)
-        frontier: list[tuple] = [
-            (0, i, u, None, True) for i, u in enumerate(seeds)
-        ]
+        # frontier entries: (depth, discovery_order, url, parent)
+        frontier: list[tuple] = [(0, i, u, None) for i, u in enumerate(seeds)]
         next_order = len(seeds)
         fetch_order = 0
         pages_counted = 0  # crawl-limit counter (by-page aware)
@@ -292,7 +290,7 @@ class CrawlOracle:
 
             new_links_this_wave: list[tuple] = []
             limit_hit = False
-            for depth, order, url, parent, expand in admitted:
+            for depth, order, url, parent in admitted:
                 # crawl-limit gate before each fetch (lib/crawl.rb:69)
                 if cfg.crawl_limit is not None and pages_counted >= int(
                     cfg.crawl_limit
@@ -338,7 +336,7 @@ class CrawlOracle:
                 )
                 fetch_order += 1
 
-                if permitted and expand:
+                if permitted:
                     document_links = extract_all_links(
                         content["url"], content["spans"]
                     )
@@ -351,40 +349,33 @@ class CrawlOracle:
                             inbound[canonicalize(link)].add(url)
 
                     selected = []
+                    # selection self-gates expansion: a page whose queued
+                    # URL is external (enqueued via crawl_linked_external)
+                    # never passes internal?(url) for its own children —
+                    # matching lib/cobweb_crawler.rb:108 exactly.
                     for link in document_links:
-                        if classifier.internal(link):
-                            selected.append((link, True))
-                        elif (
+                        if classifier.internal(link) or (
                             cfg.crawl_linked_external
                             and classifier.internal(url)
                             and not classifier.matches_external(link)
                         ):
-                            selected.append((link, False))  # fetch, no expand
+                            selected.append(link)
                     if cfg.treat_https_as_http:
                         selected = [
-                            (
-                                ("http" + l[5:]) if l.startswith("https") else l,
-                                e,
-                            )
-                            for l, e in selected
+                            ("http" + l[5:]) if l.startswith("https") else l
+                            for l in selected
                         ]
                     if cfg.obey_robots:
                         selected = [
-                            (l, e)
-                            for l, e in selected
+                            l
+                            for l in selected
                             if self.robots.allowed(l, cfg.user_agent)
                         ]
-                    for link, expand_child in selected:
+                    for link in selected:
                         if link and link not in seen:
                             seen.add(link)
                             new_links_this_wave.append(
-                                (
-                                    depth + 1,
-                                    next_order,
-                                    link,
-                                    url,
-                                    expand_child,
-                                )
+                                (depth + 1, next_order, link, url)
                             )
                             next_order += 1
                             edges.append((url, link))

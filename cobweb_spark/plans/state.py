@@ -1,0 +1,142 @@
+"""Snapshot store: per-wave atomic commits + exact resume.
+
+The reference approximates exactly-once semantics with Redis locks and a
+WATCH/MULTI first-to-finish guard (``lib/crawl.rb:241-291``); restartable
+crawls reuse a fixed crawl_id (changelog 0.0.40). Here every wave commits
+``(frontier, seen, pages, edges, candidates)`` as parquet plus a manifest
+JSON written via atomic rename — the parquet+manifest stand-in for an
+Iceberg snapshot (same semantics: readers only see manifests, a torn write
+is invisible). A killed crawl resumes from the latest manifest and
+reproduces the exact remaining waves (deterministic ordering makes the
+final state identical to an uninterrupted run).
+
+Manifests carry the wave counters and per-partition lineage (row counts
+per shuffle partition) per the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("frontier", "seen", "pages", "edges", "candidates")
+
+
+def _partition_lineage(df: DataFrame) -> list[dict]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    return [{"partition": r["pid"], "rows": r["count"]} for r in rows]
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _wave_dir(self, wave_id: int) -> str:
+        return os.path.join(self.dir, f"wave={wave_id:06d}")
+
+    def commit_wave(
+        self,
+        wave_id: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        pages: DataFrame,
+        counters: dict,
+        metrics: dict | None = None,
+        edges: DataFrame | None = None,
+        candidates: DataFrame | None = None,
+        filters_bank=None,
+    ) -> str:
+        wdir = self._wave_dir(wave_id)
+        tmp = wdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+
+        tables = {
+            "frontier": frontier,
+            "seen": seen,
+            "pages": pages,
+            "edges": edges,
+            "candidates": candidates,
+        }
+        lineage = {}
+        for name, df in tables.items():
+            if df is None:
+                continue
+            path = os.path.join(tmp, name)
+            df.write.mode("overwrite").parquet(path)
+            lineage[name] = _partition_lineage(
+                self.spark.read.parquet(path)
+            )
+        if filters_bank is not None:
+            filters_bank.save(os.path.join(tmp, "filters"))
+
+        manifest = {
+            "wave_id": wave_id,
+            "counters": counters,
+            "metrics": metrics or {},
+            "tables": {
+                n: os.path.join(wdir, n) for n, df in tables.items() if df is not None
+            },
+            "lineage": lineage,
+            "has_filters": filters_bank is not None,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+        # atomic publish: rename tmp dir, then append to the log via rename
+        if os.path.exists(wdir):
+            shutil.rmtree(wdir)
+        os.rename(tmp, wdir)
+        latest_tmp = os.path.join(self.dir, "_LATEST.tmp")
+        with open(latest_tmp, "w") as f:
+            f.write(str(wave_id))
+        os.replace(latest_tmp, os.path.join(self.dir, "_LATEST"))
+        return wdir
+
+    def latest_wave(self) -> int | None:
+        marker = os.path.join(self.dir, "_LATEST")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return int(f.read().strip())
+
+    def load_manifest(self, wave_id: int) -> dict:
+        with open(
+            os.path.join(self._wave_dir(wave_id), "manifest.json")
+        ) as f:
+            return json.load(f)
+
+    def load_table(self, wave_id: int, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._wave_dir(wave_id), name)
+        )
+
+    def load_all_pages(self, upto_wave: int) -> list[DataFrame]:
+        """pages/edges/candidates of all committed waves ≤ upto_wave."""
+        out = []
+        for w in range(upto_wave + 1):
+            wdir = self._wave_dir(w)
+            if os.path.isdir(os.path.join(wdir, "pages")):
+                out.append((w, self.spark.read.parquet(os.path.join(wdir, "pages"))))
+        return out
+
+    def load_parts(self, upto_wave: int, name: str) -> list[DataFrame]:
+        out = []
+        for w in range(upto_wave + 1):
+            wdir = self._wave_dir(w)
+            path = os.path.join(wdir, name)
+            if os.path.isdir(path):
+                out.append(self.spark.read.parquet(path))
+        return out

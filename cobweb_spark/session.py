@@ -13,6 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the cobweb_spark package to executor Python workers.
+
+    Our pandas UDFs reference module functions by name, so workers must be
+    able to import ``cobweb_spark`` even when the driver process was
+    launched from a different working directory (the spark-submit
+    ``--py-files`` path on a real cluster). Idempotent per session.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_cobweb_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "cobweb_spark_pkg.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    zf.write(full, os.path.relpath(full, repo_root))
+    sc.addPyFile(zip_path)
+    sc._cobweb_shipped = True
+
+
 def get_spark(
     app_name: str = "cobweb-spark",
     master: str | None = None,
@@ -38,10 +66,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
     return spark
