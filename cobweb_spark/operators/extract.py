@@ -99,18 +99,31 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     # cross-category uniq in category order (all_links flatten.uniq, :47)
     hits = hits.drop_duplicates(["page_idx", "text"])
 
-    # absolutize: join(page_url, join(base, raw)) with per-batch memo
+    # absolutize: join(page_url, join(base, raw)). Vectorized fast path for
+    # raws that are already absolute http(s) URLs without fragments (the
+    # overwhelming case in web-scale corpora) — joining an absolute URL is
+    # the identity, so only relative/fragmented raws pay the urljoin memo.
     page_urls = pdf["parent_url"].values
-    memo: dict[tuple, str | None] = {}
-    abs_links = []
-    for pi, raw in zip(hits["page_idx"].values, hits["text"].values):
-        base = base_by_page.get(int(pi), "")
-        key = (page_urls[pi], base, raw)
-        if key not in memo:
-            memo[key] = join_no_fragment(
-                page_urls[pi], join_no_fragment(base, raw)
-            )
-        abs_links.append(memo[key])
+    raw_s = hits["text"].astype("string")
+    fast = (
+        raw_s.str.startswith("http://") | raw_s.str.startswith("https://")
+    ) & ~raw_s.str.contains("#", regex=False)
+    fast = fast.fillna(False).values
+    abs_links = np.array(hits["text"].values, dtype=object)
+    if not fast.all():
+        memo: dict[tuple, str | None] = {}
+        slow_idx = np.nonzero(~fast)[0]
+        pidx_vals = hits["page_idx"].values
+        raw_vals = hits["text"].values
+        for n in slow_idx:
+            pi, raw = int(pidx_vals[n]), raw_vals[n]
+            base = base_by_page.get(pi, "")
+            key = (page_urls[pi], base, raw)
+            if key not in memo:
+                memo[key] = join_no_fragment(
+                    page_urls[pi], join_no_fragment(base, raw)
+                )
+            abs_links[n] = memo[key]
     hits = hits.assign(link=abs_links)
     hits = hits[hits["link"].notna()]
 

@@ -23,14 +23,21 @@ def zip_with_order(
     out_col: str,
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+    size_hint: int | None = None,
+) -> tuple[DataFrame, int]:
     """Add ``out_col`` = start, start+1, ... in ``sort_cols`` order.
 
     ``sort_cols`` must be a total (duplicate-free) ordering key.
+    Returns (df, total_rows) — the count falls out of the offset pass for
+    free, so callers never need a separate count job.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if size_hint is not None:
+            # ~50k rows per range partition floor: tiny waves shouldn't pay
+            # 32 near-empty tasks per pass
+            num_partitions = max(1, min(num_partitions, size_hint // 50_000 + 1))
     d = df.repartitionByRange(num_partitions, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
@@ -47,6 +54,7 @@ def zip_with_order(
     for pid in sorted(by_pid):
         offsets[pid] = acc
         acc += by_pid[pid]
+    total = acc - start
     bc = spark.sparkContext.broadcast(offsets)
 
     schema = T.StructType(
@@ -66,4 +74,4 @@ def zip_with_order(
             seen += len(pdf)
             yield pdf
 
-    return d.mapInPandas(add_order, schema)
+    return d.mapInPandas(add_order, schema), total

@@ -108,14 +108,33 @@ def lsh_ann_topk(
     query_ids: list[int],
     k: int = 5,
     n_planes: int = 8,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the LSH bucket."""
+    """Approximate top-k: exact cosine, but only within the LSH bucket.
+
+    With ``multiprobe`` the query also probes every Hamming-1 neighbor
+    bucket (flip one hyperplane bit) — the standard recall boost for
+    sign-LSH at the cost of (n_planes+1)× candidate fan-out.
+    """
     bucketed = lsh_bucket(embeddings, n_planes)
     q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id",
+            "q_emb",
+            F.explode(probes).alias("q_bucket"),
+        )
     cand = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),

@@ -167,9 +167,11 @@ class SparkCrawler:
             if self.prefilter is not None:
                 self.prefilter.add(frontier.select("url"))
         empty_frontier = frontier.limit(0)
+        # n_frontier tracks |frontier| so the loop head needs no isEmpty job
+        n_frontier = frontier.count() if latest is not None else next_order
 
         while wave < cfg.max_waves:
-            if frontier.isEmpty():
+            if n_frontier == 0:
                 break
             remaining = (
                 None
@@ -179,10 +181,24 @@ class SparkCrawler:
             if remaining is not None and remaining <= 0:
                 break
 
-            admitted, deferred = admit_wave(frontier, cfg.host_budget)
-            admitted = zip_with_order(
-                admitted, ["depth", "discovery_order"], "wave_rank", start=0
-            )
+            if cfg.host_budget is None:
+                # plain BFS: the frontier is exactly the discovery_orders
+                # [n_fetched, next_order) — contiguous and dense — so
+                # fetch_order == discovery_order (FIFO equivalence,
+                # SURVEY §3.4) and no ranking job is needed at all.
+                admitted, deferred = frontier, None
+                admitted = admitted.withColumn(
+                    "wave_rank", F.col("discovery_order") - F.lit(n_fetched)
+                )
+            else:
+                admitted, deferred = admit_wave(frontier, cfg.host_budget)
+                admitted, _n = zip_with_order(
+                    admitted,
+                    ["depth", "discovery_order"],
+                    "wave_rank",
+                    start=0,
+                    size_hint=n_frontier,
+                )
 
             fetched = fetch_meta(admitted, self.documents, cfg)
             cut, limit_hit = apply_crawl_limit_cut(fetched, cfg, remaining)
@@ -194,7 +210,19 @@ class SparkCrawler:
                 .select(*PAGE_COLS)
                 .localCheckpoint()
             )
-            n_cut = cut.count()
+            # one agg job: total + countable rows (for crawl_limit_by_page)
+            counts_row = cut.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(
+                        F.coalesce(F.col("mime_type"), F.lit("")).rlike(
+                            "text/html"
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_pages"),
+            ).collect()[0]
+            n_cut = counts_row["n"]
             if n_cut == 0:
                 frontier = (
                     deferred if deferred is not None else empty_frontier
@@ -204,18 +232,16 @@ class SparkCrawler:
                 break
 
             if cfg.crawl_limit_by_page:
-                pages_counted += cut.filter(
-                    F.coalesce(F.col("mime_type"), F.lit("")).rlike(
-                        "text/html"
-                    )
-                ).count()
+                pages_counted += counts_row["n_pages"] or 0
             else:
                 pages_counted += n_cut
             n_fetched += n_cut
             pages_parts.append(cut)
 
             # redirect-final URLs join the seen set too
-            # (lib/crawl_helper.rb:35-39)
+            # (lib/crawl_helper.rb:35-39). cut is checkpointed, so this
+            # union member is cheap to rescan — seen stays a lazy union of
+            # checkpointed parts instead of re-materializing per wave.
             if cfg.mark_redirect_final_crawled:
                 finals = cut.filter(
                     F.col("fetch_url") != F.col("url")
@@ -242,11 +268,12 @@ class SparkCrawler:
             selected = robots_gate(selected, self.robots, cfg)
             fresh = reject_seen(selected, seen, self.prefilter)
             fresh = first_discovery_wins(fresh)
-            fresh = zip_with_order(
+            fresh, n_new = zip_with_order(
                 fresh,
                 ["parent_fetch_order", "position"],
                 "discovery_order",
                 start=next_order,
+                size_hint=n_cut * 16,
             )
 
             new_frontier = fresh.select(
@@ -256,7 +283,6 @@ class SparkCrawler:
                 "discovery_order",
                 F.col("parent").alias("parent"),
             ).localCheckpoint()
-            n_new = new_frontier.count()
             next_order += n_new
 
             edges_wave = fresh.select(
@@ -264,9 +290,9 @@ class SparkCrawler:
                 F.col("link").alias("dst"),
             )
             edge_parts.append(edges_wave)
-            seen = seen.unionByName(
-                new_frontier.select("url")
-            ).localCheckpoint()
+            # new_frontier is checkpointed; the union tree over checkpointed
+            # parts is cheap to rescan — no per-wave seen re-materialization
+            seen = seen.unionByName(new_frontier.select("url"))
             if self.prefilter is not None:
                 self.prefilter.add(new_frontier.select("url"))
 
@@ -282,10 +308,13 @@ class SparkCrawler:
 
             if limit_hit:
                 frontier = empty_frontier
+                n_frontier = 0
             elif deferred is not None:
                 frontier = deferred.unionByName(new_frontier).localCheckpoint()
+                n_frontier = frontier.count()
             else:
                 frontier = new_frontier
+                n_frontier = n_new
 
             if self.store is not None and (
                 limit_hit or wave % max(cfg.checkpoint_every, 1) == 0

@@ -28,6 +28,8 @@ def minute_counts_stream(
 ) -> DataFrame:
     """File-source stream → per-minute (optionally per-key) counts."""
     stream = spark.readStream.schema(schema).parquet(path)
+    # watermarks require TIMESTAMP (with timezone); parquet often carries NTZ
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     win = F.window(F.col(ts_col), "1 minute")
     keys = [win] + ([F.col(group_col)] if group_col else [])
     return (

@@ -348,6 +348,12 @@ def build_scale_corpus_arrays(
     import numpy as np
     import pyarrow as pa
 
+    def _arr(x, type=None):
+        a = pa.array(x, type=type)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return a
+
     rng = np.random.default_rng(seed)
     host_sizes = np.full(n_hosts, pages_per_host, dtype=np.int64)
     host_sizes[0] *= mega_host_factor
@@ -399,10 +405,10 @@ def build_scale_corpus_arrays(
     )
 
     # page rows
-    kinds_flat = pa.array(kind_sorted)
-    texts_flat = pa.array(text_sorted)
-    media_flat = pa.array([None] * total, type=pa.string())
-    offs_flat = pa.array(offsets_within, type=pa.int32())
+    kinds_flat = _arr(kind_sorted)
+    texts_flat = _arr(text_sorted)
+    media_flat = _arr([None] * total, type=pa.string())
+    offs_flat = _arr(offsets_within, type=pa.int32())
     span_struct = pa.StructArray.from_arrays(
         [kinds_flat, texts_flat, media_flat, offs_flat],
         ["kind", "text", "media_ref", "offset"],

@@ -1,0 +1,94 @@
+"""Scaling-efficiency evidence: same crawl at two parallelism levels.
+
+The north rule's two-cluster-size criterion (N vs 4N executors, ≥0.8
+throughput scaling efficiency) cannot use a real cluster in this sandbox;
+per the driver instruction it is evidenced by running the same job on the
+same input at local[8] and local[32] and reporting both throughputs plus
+efficiency = (T_8core / T_32core) / 4 ... expressed via throughput:
+eff = (thr_32 / thr_8) / 4.
+
+Each measurement is a fresh subprocess (own JVM) so executors/memory are
+genuinely re-provisioned. Results go to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CRAWL_ONLY = """
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from cobweb_spark.config import CrawlConfig
+from cobweb_spark.plans.crawler import SparkCrawler
+from cobweb_spark.session import get_spark
+from cobweb_spark.sources.corpus import cached_scale_corpus, load_documents
+
+spark = get_spark(app_name="scaling-%(cpus)s")
+corpus_path, seeds = cached_scale_corpus(**%(params)s)
+docs = load_documents(spark, corpus_path)
+docs.cache().count()
+cfg = CrawlConfig(internal_urls=["http://*"], seed_urls=seeds,
+                  store_inbound_links=False)
+t0 = time.time()
+res = SparkCrawler(spark, docs, cfg).crawl(None)
+n = res.pages.count()
+t = time.time() - t0
+print("RESULT " + json.dumps({"cpus": %(cpus)s, "fetched": n,
+                              "seconds": round(t, 2),
+                              "urls_per_sec": round(n / t, 1)}))
+"""
+
+
+def run_at(cpus: int, params: dict) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(cpus, 8))
+    code = CRAWL_ONLY % {"repo": REPO, "cpus": cpus, "params": repr(params)}
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT line from local[{cpus}] run:\n"
+        + out.stdout[-2000:]
+        + out.stderr[-2000:]
+    )
+
+
+def main():
+    params = dict(
+        n_hosts=int(os.environ.get("COBWEB_BENCH_HOSTS", "40")),
+        pages_per_host=int(os.environ.get("COBWEB_BENCH_PAGES", "300")),
+        mega_host_factor=20,
+        out_degree=12,
+        media_ratio=0.25,
+        cross_host_prob=0.10,
+        seed=42,
+    )
+    lo = run_at(8, params)
+    hi = run_at(32, params)
+    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    result = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "low": lo,
+        "high": hi,
+        "efficiency": round(eff, 3),
+        "corpus": params,
+    }
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()
