@@ -80,7 +80,11 @@ def _gen_fixture_data() -> dict:
             ("location", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pylist(rows, schema=arrow_schema), corpus_path)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=arrow_schema),
+        corpus_path,
+        row_group_size=2_000,
+    )
     import pandas as pd
 
     manifest = {"corpus": corpus_path, "goldens": {}}

@@ -49,7 +49,6 @@ def main() -> dict:
 
     corpus_path, seeds = cached_scale_corpus(**SCALE_PARAMS)
     docs = load_documents(spark, corpus_path)
-    docs.cache().count()
 
     # --- headline: full crawl, URLs fetched+deduped/sec ---
     budget = os.environ.get("COBWEB_BENCH_BUDGET")
@@ -58,6 +57,7 @@ def main() -> dict:
         seed_urls=seeds,
         host_budget=int(budget) if budget else None,
         store_inbound_links=False,
+        precompute_edges=True,
     )
     t0 = time.time()
     res = SparkCrawler(spark, docs, cfg).crawl(None)

@@ -65,6 +65,16 @@ class CrawlConfig:
     bloom_capacity_per_shard: int = 1 << 17
     bloom_fpp: float = 0.01
     use_seen_prefilter: bool = True
+    # persist narrow (meta, spans) projections of the corpus for the
+    # per-wave joins; disable when the corpus doesn't fit executor storage
+    cache_corpus: bool = True
+    # precompute the whole corpus' link extraction ONCE (one mapInPandas
+    # pass) and expand waves by joining the narrow cached edge table,
+    # instead of re-joining + re-extracting span arrays per wave. The
+    # right trade when the crawl covers a large fraction of the corpus
+    # (nested-array scans per wave dominate otherwise); leave False when
+    # crawling a small slice of a huge corpus.
+    precompute_edges: bool = False
     # snapshot/resume
     state_dir: str | None = None
     checkpoint_every: int = 1  # waves between snapshot commits

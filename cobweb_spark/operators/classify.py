@@ -118,12 +118,20 @@ def robots_gate(
 def first_discovery_wins(candidates: DataFrame) -> DataFrame:
     """Intra-wave dedup: the earliest (parent fetch order, position)
     discovery of a URL wins — the wave-model analogue of the reference's
-    per-link re-check under lock (``lib/crawl.rb:132-138``)."""
-    w = Window.partitionBy("link").orderBy(
-        "parent_fetch_order", "position"
+    per-link re-check under lock (``lib/crawl.rb:132-138``).
+
+    Implemented as groupBy + min_by (NOT a window): duplicate discoveries
+    are the dominant traffic in a dense web graph, and partial aggregation
+    combines them map-side so the shuffle carries ~unique links instead of
+    every (parent, link) pair. Ties impossible — (parent_fetch_order,
+    position) is unique.
+    """
+    cols = [c for c in candidates.columns if c != "link"]
+    packed = candidates.groupBy("link").agg(
+        F.min_by(
+            F.struct(*cols), F.struct("parent_fetch_order", "position")
+        ).alias("__best")
     )
-    return (
-        candidates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return packed.select(
+        "link", *[F.col(f"__best.{c}").alias(c) for c in cols]
     )

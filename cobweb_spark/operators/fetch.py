@@ -49,8 +49,50 @@ def _join_canon_udf(base: pd.Series, link: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+def _left_lookup(
+    left: DataFrame, meta: DataFrame, broadcast_left: bool = True
+) -> DataFrame:
+    """left ⟕ meta on left.fetch_url == meta.doc_id, with the FRONTIER as
+    the broadcast/build side.
+
+    A plain ``left.join(meta, ..., 'left')`` can only build (or broadcast)
+    the corpus side — catastrophic when the optimizer decides the corpus
+    "fits" (on-disk stats undercount nested in-memory size by 10-50×).
+    Decomposed instead into: inner join streaming the corpus against a
+    broadcast of the frontier, plus a broadcast anti-join reconstructing
+    the unmatched rows with null metadata. The corpus is scanned (never
+    shuffled, never broadcast); the frontier is broadcast twice (it is the
+    small side by design — per-wave batches).
+    """
+    # big waves skip the driver-side broadcast build (serial, memory-heavy)
+    # and let the shuffled-hash join build on the frontier side instead
+    lb = F.broadcast(left) if broadcast_left else left
+    inner = meta.join(lb, meta["doc_id"] == lb["fetch_url"], "inner").drop(
+        "doc_id"
+    )
+    keys = left.select("fetch_url").distinct()
+    keys = F.broadcast(keys) if broadcast_left else keys
+    matched_keys = (
+        meta.select("doc_id")
+        .join(keys, meta["doc_id"] == F.col("fetch_url"), "inner")
+        .select("fetch_url")
+    )
+    data_cols = [c for c in META_COLS if c != "doc_id"]
+    missing = left.join(F.broadcast(matched_keys), "fetch_url", "left_anti")
+    for c, t in zip(
+        data_cols,
+        ["int", "string", "string", "long", "double", "string"],
+    ):
+        missing = missing.withColumn(c, F.lit(None).cast(t))
+    return inner.unionByName(missing.select(*inner.columns))
+
+
 def fetch_meta(
-    frontier: DataFrame, documents: DataFrame, cfg: CrawlConfig
+    frontier: DataFrame,
+    documents: DataFrame,
+    cfg: CrawlConfig,
+    skip_redirects: bool = False,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Join frontier against corpus metadata, resolving redirect chains.
 
@@ -64,11 +106,15 @@ def fetch_meta(
 
     cur = (
         frontier.withColumn("fetch_url", canonicalize_udf("url"))
-        .withColumn("base_url", canonicalize_udf("url"))
+        .withColumn("base_url", F.col("fetch_url"))
         .withColumn("redirect_through", F.lit(None).cast("array<string>"))
         .withColumn("error", F.lit(None).cast("string"))
+        # _left_lookup references the frontier three times (inner, matched
+        # keys, missing) — materialize once so the canonicalize UDF runs
+        # once per wave
+        .localCheckpoint(eager=False)
     )
-    cur = cur.join(meta, cur.fetch_url == meta.doc_id, "left").drop("doc_id")
+    cur = _left_lookup(cur, meta, broadcast_left=broadcast_frontier)
 
     is_redirect = (
         F.col("status_code").isNotNull()
@@ -79,6 +125,12 @@ def fetch_meta(
 
     done_parts: list[DataFrame] = []
     hops_allowed = max(int(cfg.redirect_limit or 10) - 1, 0)
+    if skip_redirects:
+        # caller proved the corpus has no 3xx rows: the hop loop (and its
+        # extra join execution per isEmpty probe) is provably dead
+        hops_allowed = 0
+        done_parts.append(cur)
+        cur = None
     for _hop in range(hops_allowed):
         done_parts.append(cur.filter(~is_redirect))
         redirecting = cur.filter(is_redirect)
@@ -101,13 +153,7 @@ def fetch_meta(
             .drop(*[c for c in META_COLS if c != "doc_id"], "fetch_url")
             .withColumnRenamed("next_url", "fetch_url")
         )
-        cur = (
-            redirecting.join(
-                meta, redirecting.fetch_url == meta.doc_id, "left"
-            )
-            .drop("doc_id")
-            .localCheckpoint(eager=False)
-        )
+        cur = _left_lookup(redirecting, meta).localCheckpoint(eager=False)
 
     if cur is not None:
         done_parts.append(cur.filter(~is_redirect))

@@ -106,6 +106,44 @@ class SparkCrawler:
         self.spark = spark
         self.documents = documents
         self.cfg = config or CrawlConfig()
+        # narrow cached projections: every wave joins against the corpus,
+        # so the metadata columns and the (heavy) spans column are cached
+        # separately — fetch/redirect joins scan only the small frame.
+        # Both are hash-partitioned by doc_id BEFORE caching: the cached
+        # scan reports that partitioning, so every per-wave equi-join on
+        # doc_id shuffles only the (small) frontier side — the co-located
+        # join the reference's Redis key lookups amount to. On a real
+        # cluster this is the bucketed Iceberg table.
+        from ..operators.fetch import META_COLS
+
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self._meta = documents.select(*META_COLS)
+        if self.cfg.cache_corpus:
+            self._meta = self._meta.repartition(n_part, "doc_id").persist()
+        # spans stay UNCACHED: Spark's in-memory cache is row-serialized
+        # for nested types, so scanning cached span arrays per wave is far
+        # slower than a pruned vectorized parquet read
+        self._spans = documents.select("doc_id", "spans")
+        self._edges_all = None
+        if self.cfg.precompute_edges:
+            ex_in = documents.select(
+                F.col("doc_id").alias("parent"),
+                F.col("doc_id").alias("parent_url"),
+                F.lit(0).cast("long").alias("parent_fetch_order"),
+                F.lit(0).alias("parent_depth"),
+                "spans",
+            )
+            self._edges_all = (
+                extract_links(ex_in)
+                .select(
+                    F.col("parent_url").alias("src_doc"),
+                    "link",
+                    "position",
+                )
+                .repartition(n_part, "src_doc")
+                .persist()
+            )
+        self._has_redirects: bool | None = None
         self.robots = robots
         self.prefilter = seen_prefilter
         self.store = snapshot_store
@@ -126,8 +164,22 @@ class SparkCrawler:
 
     # ------------------------------------------------------------------
     def crawl(
-        self, base_url: str | None = None, resume: bool = False
+        self,
+        base_url: str | None = None,
+        resume: bool = False,
+        on_wave=None,
+        cancel=None,
     ) -> SparkCrawlResult:
+        """Run the crawl.
+
+        ``on_wave(pages_df, wave_metrics)`` is the per-wave user hook — the
+        block passed to ``CobwebCrawler#crawl`` (``lib/cobweb_crawler.rb:43,
+        144``) / the processing-queue handoff (``lib/crawl_job.rb:87-101``).
+        ``cancel()`` is checked between waves — the stop-flag analogue of
+        the reference's Cancelled status check (``lib/crawl.rb:33-35,65``;
+        cancellation drains without fetching, like
+        ``lib/cobweb_crawl_helper.rb:18-87``).
+        """
         spark, cfg = self.spark, self.cfg
         classifier = cfg.classifier(base_url)
 
@@ -170,9 +222,14 @@ class SparkCrawler:
         # n_frontier tracks |frontier| so the loop head needs no isEmpty job
         n_frontier = frontier.count() if latest is not None else next_order
 
+        import time as _time
+
         while wave < cfg.max_waves:
             if n_frontier == 0:
                 break
+            if cancel is not None and cancel():
+                break
+            _t0 = _time.time()
             remaining = (
                 None
                 if cfg.crawl_limit is None
@@ -200,7 +257,23 @@ class SparkCrawler:
                     size_hint=n_frontier,
                 )
 
-            fetched = fetch_meta(admitted, self.documents, cfg)
+            if self._has_redirects is None:
+                self._has_redirects = bool(cfg.follow_redirects) and (
+                    self._meta.filter(
+                        "status_code >= 300 and status_code < 400"
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            bcast_wave = n_frontier < 150_000
+            fetched = fetch_meta(
+                admitted,
+                self._meta,
+                cfg,
+                skip_redirects=not self._has_redirects,
+                broadcast_frontier=bcast_wave,
+            )
             cut, limit_hit = apply_crawl_limit_cut(fetched, cfg, remaining)
             cut = (
                 cut.withColumn(
@@ -210,6 +283,7 @@ class SparkCrawler:
                 .select(*PAGE_COLS)
                 .localCheckpoint()
             )
+            _t_fetch = _time.time()
             # one agg job: total + countable rows (for crawl_limit_by_page)
             counts_row = cut.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -255,19 +329,45 @@ class SparkCrawler:
                 F.col("fetch_order").alias("parent_fetch_order"),
                 F.col("depth").alias("parent_depth"),
             )
-            spans_src = self.documents.select("doc_id", "spans")
-            with_spans = to_extract.join(
-                spans_src,
-                to_extract.parent_url == spans_src.doc_id,
-                "left",
-            ).drop("doc_id")
-            candidates = extract_links(with_spans).localCheckpoint()
-            cand_parts.append(candidates)
+            if self._edges_all is not None:
+                candidates = to_extract.join(
+                    self._edges_all,
+                    to_extract.parent_url == self._edges_all.src_doc,
+                ).drop("src_doc")
+            else:
+                # stream the spans scan against a broadcast of the wave:
+                # the corpus side must never be shuffled or broadcast.
+                # Inner join ≡ left join here — pages with no corpus row
+                # produce no links either way.
+                spans_src = self._spans
+                wave_side = (
+                    F.broadcast(to_extract)
+                    if n_cut < 150_000
+                    else to_extract
+                )
+                with_spans = spans_src.join(
+                    wave_side,
+                    spans_src.doc_id == to_extract.parent_url,
+                    "inner",
+                ).drop("doc_id")
+                candidates = extract_links(with_spans)
+            if cfg.store_inbound_links:
+                # inbound indexing needs the raw candidate stream twice —
+                # materialize; otherwise let it flow straight through
+                candidates = candidates.localCheckpoint()
+                cand_parts.append(candidates)
 
             selected = select_internal(candidates, classifier, cfg)
             selected = robots_gate(selected, self.robots, cfg)
-            fresh = reject_seen(selected, seen, self.prefilter)
-            fresh = first_discovery_wins(fresh)
+            # dedup BEFORE the anti-join: map-side combine collapses the
+            # duplicate-heavy candidate stream to unique links, so the
+            # anti-join (and everything after) touches ~|new links| rows
+            fresh = first_discovery_wins(selected)
+            fresh = reject_seen(fresh, seen, self.prefilter)
+            # materialize BEFORE ordering: repartitionByRange's sampling
+            # job would otherwise recompute the whole extract→dedup
+            # pipeline a second time each wave
+            fresh = fresh.localCheckpoint()
             fresh, n_new = zip_with_order(
                 fresh,
                 ["parent_fetch_order", "position"],
@@ -303,8 +403,12 @@ class SparkCrawler:
                     "new_links": n_new,
                     "pages_counted": pages_counted,
                     "n_fetched": n_fetched,
+                    "t_fetch": round(_t_fetch - _t0, 2),
+                    "t_expand": round(_time.time() - _t_fetch, 2),
                 }
             )
+            if on_wave is not None:
+                on_wave(cut, metrics[-1])
 
             if limit_hit:
                 frontier = empty_frontier

@@ -63,8 +63,38 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
+        .config("spark.memory.fraction", "0.7")
+        # shuffle/spill to tmpfs when available: local-mode shuffles on a
+        # slow disk serialize the whole pipeline regardless of core count
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024)
+        )
+        # hash joins over sort-merge: the per-wave frontier⋈corpus joins
+        # hit a hash-partitioned cached side — SMJ would re-sort the whole
+        # corpus every wave, SHJ just builds a map over the frontier side
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.shuffledHashJoinFactor", "1")
+        # Python stages have high per-byte cost: small splits / advisory
+        # sizes keep Arrow-UDF parallelism at core count instead of
+        # 128MB-file-split count
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(8 * 1024 * 1024),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

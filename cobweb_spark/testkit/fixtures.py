@@ -479,7 +479,9 @@ def write_scale_corpus(path: str, **kw) -> list[str]:
     import pyarrow.parquet as pq
 
     tbl, seeds = build_scale_corpus_arrays(**kw)
-    pq.write_table(tbl, path)
+    # small row groups keep the file splittable: Spark cannot parallelize
+    # inside one row group, and the span column is Python-stage input
+    pq.write_table(tbl, path, row_group_size=20_000)
     return seeds
 
 

@@ -31,9 +31,8 @@ from cobweb_spark.sources.corpus import cached_scale_corpus, load_documents
 spark = get_spark(app_name="scaling-%(cpus)s")
 corpus_path, seeds = cached_scale_corpus(**%(params)s)
 docs = load_documents(spark, corpus_path)
-docs.cache().count()
 cfg = CrawlConfig(internal_urls=["http://*"], seed_urls=seeds,
-                  store_inbound_links=False)
+                  store_inbound_links=False, precompute_edges=True)
 t0 = time.time()
 res = SparkCrawler(spark, docs, cfg).crawl(None)
 n = res.pages.count()
