@@ -38,6 +38,7 @@ _CRAWL_CONFIGS = {
     "default": dict(),
     "limit10": dict(crawl_limit=10),
     "polite3": dict(host_budget=3),
+    "robots": dict(obey_robots=True),
 }
 
 
@@ -89,9 +90,15 @@ def _gen_fixture_data() -> dict:
 
     manifest = {"corpus": corpus_path, "goldens": {}}
 
+    from cobweb_spark.oracle import RobotsRules
+
+    robots_rules = fx.sample_site_robots_rules(host="localhost:3532")
     for key, overrides in _CRAWL_CONFIGS.items():
         cfg = CrawlConfig(**overrides)
-        res = CrawlOracle(corpus, cfg).crawl(fx.SAMPLE_SITE_BASE)
+        robots = RobotsRules(robots_rules) if cfg.obey_robots else None
+        res = CrawlOracle(corpus, cfg, robots=robots).crawl(
+            fx.SAMPLE_SITE_BASE
+        )
         pages = pd.DataFrame(
             {
                 "fetch_order": [p.fetch_order for p in res.pages],
@@ -159,7 +166,16 @@ def _crawl(spark: SparkSession, key: str):
     man = _gen_fixture_data()
     docs = load_documents(spark, man["corpus"]).cache()
     cfg = CrawlConfig(**_CRAWL_CONFIGS[key])
-    res = SparkCrawler(spark, docs, cfg).crawl(fx.SAMPLE_SITE_BASE)
+    robots = None
+    if cfg.obey_robots:
+        from cobweb_spark.sources.corpus import robots_df
+
+        robots = robots_df(
+            spark, fx.sample_site_robots_rules(host="localhost:3532")
+        )
+    res = SparkCrawler(spark, docs, cfg, robots=robots).crawl(
+        fx.SAMPLE_SITE_BASE
+    )
     _CRAWL_MEMO[key] = res
     return res
 
@@ -227,6 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["crawl_pages_polite3"] = lambda spark, sf: _crawl_pages_df(
         spark, "polite3"
+    )
+    q["crawl_pages_robots"] = lambda spark, sf: _crawl_pages_df(
+        spark, "robots"
     )
     q["crawl_edges"] = lambda spark, sf: _crawl(spark, "default").edges
     q["crawl_inbound_links"] = lambda spark, sf: inbound_links(
@@ -326,6 +345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     )
 
+    # --- per-page DocumentScope projection (lib/document.rb DSL) ---
+    from cobweb_spark.operators.document_scope import document_scope
+
+    q["document_scope"] = lambda spark, sf: document_scope(
+        load_documents(spark, corpus_path)
+    )
+
     # --- multimodal plumbing (stubbed decode; rows-only check) ---
     q["media_decode_features"] = lambda spark, sf: decode_media(
         media_payloads(load_documents(spark, corpus_path))
@@ -368,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_seen_set"] = f"SELECT url FROM {rp(g['seen_default'])}"
     sql["crawl_pages_limit10"] = f"SELECT * FROM {rp(g['pages_limit10'])}"
     sql["crawl_pages_polite3"] = f"SELECT * FROM {rp(g['pages_polite3'])}"
+    sql["crawl_pages_robots"] = f"SELECT * FROM {rp(g['pages_robots'])}"
     sql["crawl_edges"] = f"SELECT src, dst FROM {rp(g['edges_default'])}"
     sql["crawl_inbound_links"] = (
         f"SELECT url, src FROM {rp(g['inbound_default'])}"
@@ -412,6 +439,26 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT mime_type, count(*)::BIGINT AS n FROM {rp(corpus)} "
         "GROUP BY mime_type"
     )
+    sql["document_scope"] = f"""
+        SELECT doc_id, mime_type, status_code, length,
+               list_filter(spans, s -> s.kind = 'title')[1].text AS title,
+               substr(list_filter(spans, s -> s.kind = 'meta_name'
+                      AND s.text LIKE 'description=%')[1].text, 13)
+                   AS meta_description,
+               substr(list_filter(spans, s -> s.kind = 'meta_name'
+                      AND s.text LIKE 'keywords=%')[1].text, 10)
+                   AS meta_keywords,
+               list_filter(spans, s -> s.kind = 'link_rel')[1].text
+                   AS first_rel_link,
+               len(list_filter(spans, s -> s.kind = 'img'))::INT
+                   AS image_count,
+               len(list_filter(spans, s -> s.kind = 'script'))::INT
+                   AS script_count,
+               len(list_filter(spans, s -> s.kind = 'link_stylesheet'
+                      OR s.kind = 'style_url'))::INT AS style_count,
+               len(list_filter(spans, s -> s.kind = 'a'))::INT
+                   AS anchor_count
+        FROM {rp(corpus)}"""
 
     # text ops — identical md5-derived hashing in both engines
     H = "('0x' || substr(md5(token), 1, 15))::BIGINT"

@@ -24,11 +24,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 SCALE_PARAMS = dict(
-    n_hosts=int(os.environ.get("COBWEB_BENCH_HOSTS", "40")),
-    pages_per_host=int(os.environ.get("COBWEB_BENCH_PAGES", "300")),
-    mega_host_factor=20,
-    out_degree=12,
-    media_ratio=0.25,
+    n_hosts=int(os.environ.get("COBWEB_BENCH_HOSTS", "200")),
+    pages_per_host=int(os.environ.get("COBWEB_BENCH_PAGES", "2500")),
+    mega_host_factor=10,
+    out_degree=18,
+    media_ratio=0.15,
     cross_host_prob=0.10,
     seed=42,
 )

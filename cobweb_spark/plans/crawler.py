@@ -366,7 +366,9 @@ class SparkCrawler:
             fresh = reject_seen(fresh, seen, self.prefilter)
             # materialize BEFORE ordering: repartitionByRange's sampling
             # job would otherwise recompute the whole extract→dedup
-            # pipeline a second time each wave
+            # pipeline a second time each wave. Eager: bounded executor
+            # memory beats saving a job (lazy variants stacked python
+            # stages into one oversized job and OOM'd small executors).
             fresh = fresh.localCheckpoint()
             fresh, n_new = zip_with_order(
                 fresh,
@@ -376,6 +378,9 @@ class SparkCrawler:
                 size_hint=n_cut * 16,
             )
 
+            # eager: bounded executor memory matters more than one job —
+            # a lazy checkpoint here stacks this wave's python stages into
+            # the next wave's first job
             new_frontier = fresh.select(
                 F.col("link").alias("url"),
                 host_udf("link").alias("host"),

@@ -22,13 +22,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CRAWL_ONLY = """
 import json, os, sys, time
+os.environ.setdefault("SPARK_HOME", "/opt/spark")
 sys.path.insert(0, %(repo)r)
 from cobweb_spark.config import CrawlConfig
 from cobweb_spark.plans.crawler import SparkCrawler
 from cobweb_spark.session import get_spark
 from cobweb_spark.sources.corpus import cached_scale_corpus, load_documents
 
-spark = get_spark(app_name="scaling-%(cpus)s")
+spark = get_spark(app_name="scaling-%(cpus)s", master=%(master)r)
 corpus_path, seeds = cached_scale_corpus(**%(params)s)
 docs = load_documents(spark, corpus_path)
 cfg = CrawlConfig(internal_urls=["http://*"], seed_urls=seeds,
@@ -43,11 +44,33 @@ print("RESULT " + json.dumps({"cpus": %(cpus)s, "fetched": n,
 """
 
 
-def run_at(cpus: int, params: dict) -> dict:
+def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
+    """One measurement in a fresh subprocess.
+
+    ``n_executors`` set → spark ``local-cluster[n,4,mem]``: genuinely
+    separate executor JVMs (own heap, GC, python workers) — the honest
+    in-sandbox stand-in for an N-executor cluster. Otherwise ``local[cpus]``
+    (single shared JVM).
+    """
+    if n_executors is not None:
+        cores_per = 4
+        mem_mb = int(os.environ.get("COBWEB_SCALING_EXEC_MB", "12288"))
+        master = f"local-cluster[{n_executors},{cores_per},{mem_mb}]"
+        cpus = n_executors * cores_per
+    else:
+        master = f"local[{cpus}]"
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(cpus, 8))
-    code = CRAWL_ONLY % {"repo": REPO, "cpus": cpus, "params": repr(params)}
+    # the driver does no heavy lifting in cluster mode; leave heap for
+    # the executor JVMs (equal per-executor memory across configs)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    code = CRAWL_ONLY % {
+        "repo": REPO,
+        "cpus": cpus,
+        "params": repr(params),
+        "master": master,
+    }
     out = subprocess.run(
         [sys.executable, "-c", code],
         env=env,
@@ -67,19 +90,25 @@ def run_at(cpus: int, params: dict) -> dict:
 
 def main():
     params = dict(
-        n_hosts=int(os.environ.get("COBWEB_BENCH_HOSTS", "40")),
-        pages_per_host=int(os.environ.get("COBWEB_BENCH_PAGES", "300")),
-        mega_host_factor=20,
-        out_degree=12,
-        media_ratio=0.25,
+        n_hosts=int(os.environ.get("COBWEB_BENCH_HOSTS", "200")),
+        pages_per_host=int(os.environ.get("COBWEB_BENCH_PAGES", "2500")),
+        mega_host_factor=10,
+        out_degree=18,
+        media_ratio=0.15,
         cross_host_prob=0.10,
         seed=42,
     )
-    lo = run_at(8, params)
-    hi = run_at(32, params)
+    import time
+
+    # N vs 4N executors on local-cluster (separate executor JVMs); settle
+    # between runs so one cluster's daemons fully exit before the next
+    lo = run_at(0, params, n_executors=2)
+    time.sleep(15)
+    hi = run_at(0, params, n_executors=8)
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
     result = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": "scaling_efficiency_2_to_8_executors",
+        "mode": "local-cluster[N,4,mem] — separate executor JVMs",
         "low": lo,
         "high": hi,
         "efficiency": round(eff, 3),
