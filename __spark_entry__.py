@@ -30,20 +30,66 @@ if _REPO_ROOT not in sys.path:
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache_corpus")
 GOLDEN = os.path.join(CACHE, "golden")
 
+# head_fetch fixture frontier: a 301 seed, a normal page, a missing URL
+_HEAD_URLS = [
+    "http://start.example.com/",
+    "http://www.start-example.org/a.html",
+    "http://missing.example.org/x.html",
+]
+
+# report CSV read-back schema (write_report_csv column order)
+_REPORT_SCHEMA = (
+    "url string, fetch_url string, fetch_order bigint, depth int, "
+    "mime_type string, status_code int, length bigint, title string, "
+    "meta_description string, meta_keywords string, first_rel_link string, "
+    "image_count int, script_count int, style_count int, anchor_count int"
+)
+
+# custom extraction table for the additional_tags CORRECTNESS query: the
+# seed_redirect corpus carries a 'video_src' span kind that the default
+# table ignores
+_CUSTOM_TAGS = {"video_src": [("media_links", 5, 0)]}
+
 # ---------------------------------------------------------------------------
 # fixture + golden generation (pure Python / pyarrow; idempotent)
 # ---------------------------------------------------------------------------
 
+_MANIFEST_VERSION = 3
+
+# crawl-fixture matrix: key → (corpus name, config overrides). Base URLs
+# and robots come from the corpus entry below.
 _CRAWL_CONFIGS = {
-    "default": dict(),
-    "limit10": dict(crawl_limit=10),
-    "polite3": dict(host_budget=3),
-    "robots": dict(obey_robots=True),
+    "default": ("sample_site", dict()),
+    "limit10": ("sample_site", dict(crawl_limit=10)),
+    # golden semantics: 5 text/html pages counted, assets free
+    # (lib/crawl.rb:50-53,173-182; spec/cobweb/crawl_job_spec.rb:199-215)
+    "limit5bp": (
+        "sample_site",
+        dict(crawl_limit=5, crawl_limit_by_page=True),
+    ),
+    "polite3": ("sample_site", dict(host_budget=3)),
+    "robots": ("sample_site", dict(obey_robots=True)),
+    # fetch (don't expand) external links on internal pages
+    # (lib/cobweb_crawler.rb:28,108)
+    "linked_ext": ("sample_site", dict(crawl_linked_external=True)),
+    # seed 301s to another host: first_page_redirect_internal widening
+    # (lib/crawl.rb:348-356)
+    "seed_redirect": ("seed_redirect", dict()),
 }
 
 
+def _corpus_base(name: str) -> str:
+    from cobweb_spark.testkit import fixtures as fx
+
+    return {
+        "sample_site": fx.SAMPLE_SITE_BASE,
+        "seed_redirect": fx.SEED_REDIRECT_BASE,
+    }[name]
+
+
 def _gen_fixture_data() -> dict:
-    """Generate (once) the spans corpus parquet + oracle goldens."""
+    """Generate (once) the spans corpora parquet + oracle goldens +
+    media-store blobs."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -53,13 +99,12 @@ def _gen_fixture_data() -> dict:
 
     os.makedirs(GOLDEN, exist_ok=True)
     manifest_path = os.path.join(GOLDEN, "manifest.json")
-    corpus_path = os.path.join(CACHE, "sample_site.parquet")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            return json.load(f)
+            man = json.load(f)
+        if man.get("version") == _MANIFEST_VERSION:
+            return man
 
-    corpus = fx.build_sample_site_corpus()
-    rows = fx.corpus_to_rows(corpus)
     # corpus parquet with the exact input_hint arrow types (offset int32)
     span_t = pa.struct(
         [
@@ -81,24 +126,70 @@ def _gen_fixture_data() -> dict:
             ("location", pa.string()),
         ]
     )
+    corpora = {
+        "sample_site": fx.build_sample_site_corpus(),
+        "seed_redirect": fx.build_seed_redirect_corpus(),
+    }
+    corpus_paths = {}
+    for name, corpus in corpora.items():
+        path = os.path.join(CACHE, f"{name}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                fx.corpus_to_rows(corpus), schema=arrow_schema
+            ),
+            path,
+            row_group_size=2_000,
+        )
+        corpus_paths[name] = path
+
+    # media store: REAL PNG/WAV payload bytes + generator metadata
+    media_refs = [
+        m
+        for corpus in corpora.values()
+        for doc in corpus.values()
+        for (_k, _t, m, _o) in doc.spans
+        if m is not None
+    ]
+    media_rows = fx.build_media_store_rows(media_refs)
+    media_store_path = os.path.join(CACHE, "media_store.parquet")
     pq.write_table(
-        pa.Table.from_pylist(rows, schema=arrow_schema),
-        corpus_path,
-        row_group_size=2_000,
+        pa.Table.from_pylist(
+            media_rows,
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("payload", pa.binary()),
+                    ("media_kind", pa.string()),
+                    ("n_bytes", pa.int32()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("sample_rate", pa.int32()),
+                    ("n_samples", pa.int32()),
+                ]
+            ),
+        ),
+        media_store_path,
     )
+
     import pandas as pd
 
-    manifest = {"corpus": corpus_path, "goldens": {}}
+    manifest = {
+        "version": _MANIFEST_VERSION,
+        "corpus": corpus_paths["sample_site"],
+        "corpora": corpus_paths,
+        "media_store": media_store_path,
+        "goldens": {},
+    }
 
     from cobweb_spark.oracle import RobotsRules
 
     robots_rules = fx.sample_site_robots_rules(host="localhost:3532")
-    for key, overrides in _CRAWL_CONFIGS.items():
+    for key, (corpus_name, overrides) in _CRAWL_CONFIGS.items():
         cfg = CrawlConfig(**overrides)
         robots = RobotsRules(robots_rules) if cfg.obey_robots else None
-        res = CrawlOracle(corpus, cfg, robots=robots).crawl(
-            fx.SAMPLE_SITE_BASE
-        )
+        res = CrawlOracle(
+            corpora[corpus_name], cfg, robots=robots
+        ).crawl(_corpus_base(corpus_name))
         pages = pd.DataFrame(
             {
                 "fetch_order": [p.fetch_order for p in res.pages],
@@ -110,6 +201,7 @@ def _gen_fixture_data() -> dict:
                 "status_code": [p.status_code for p in res.pages],
                 "mime_type": [p.mime_type for p in res.pages],
                 "length": [p.length for p in res.pages],
+                "response_time": [p.response_time for p in res.pages],
                 "permitted": [p.permitted for p in res.pages],
                 "redirects": [
                     "|".join(p.redirect_through or []) for p in res.pages
@@ -164,8 +256,9 @@ def _crawl(spark: SparkSession, key: str):
     from cobweb_spark.testkit import fixtures as fx
 
     man = _gen_fixture_data()
-    docs = load_documents(spark, man["corpus"]).cache()
-    cfg = CrawlConfig(**_CRAWL_CONFIGS[key])
+    corpus_name, overrides = _CRAWL_CONFIGS[key]
+    docs = load_documents(spark, man["corpora"][corpus_name]).cache()
+    cfg = CrawlConfig(**overrides)
     robots = None
     if cfg.obey_robots:
         from cobweb_spark.sources.corpus import robots_df
@@ -174,7 +267,7 @@ def _crawl(spark: SparkSession, key: str):
             spark, fx.sample_site_robots_rules(host="localhost:3532")
         )
     res = SparkCrawler(spark, docs, cfg, robots=robots).crawl(
-        fx.SAMPLE_SITE_BASE
+        _corpus_base(corpus_name)
     )
     _CRAWL_MEMO[key] = res
     return res
@@ -192,6 +285,7 @@ def _crawl_pages_df(spark: SparkSession, key: str) -> DataFrame:
         "status_code",
         "mime_type",
         "length",
+        "response_time",
         "permitted",
         F.concat_ws("|", F.coalesce("redirect_through", F.array())).alias(
             "redirects"
@@ -247,6 +341,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["crawl_pages_robots"] = lambda spark, sf: _crawl_pages_df(
         spark, "robots"
     )
+    q["crawl_pages_limit5_by_page"] = lambda spark, sf: _crawl_pages_df(
+        spark, "limit5bp"
+    )
+    q["crawl_pages_linked_external"] = lambda spark, sf: _crawl_pages_df(
+        spark, "linked_ext"
+    )
+    q["crawl_pages_seed_redirect"] = lambda spark, sf: _crawl_pages_df(
+        spark, "seed_redirect"
+    )
+    q["crawl_seen_seed_redirect"] = lambda spark, sf: _crawl(
+        spark, "seed_redirect"
+    ).seen.select("url")
     q["crawl_edges"] = lambda spark, sf: _crawl(spark, "default").edges
     q["crawl_inbound_links"] = lambda spark, sf: inbound_links(
         _crawl(spark, "default").candidates
@@ -263,6 +369,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .groupBy("status_code")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    from cobweb_spark.operators import stats as stats_ops
+
+    def _run_summary(spark, sf):
+        res = _crawl(spark, "default")
+        return stats_ops.run_summary(res.pages, n_waves=res.n_waves).select(
+            "crawl_counter",
+            "total_length",
+            "minimum_length",
+            "maximum_length",
+            "minimum_response_time",
+            "maximum_response_time",
+            "page_count",
+            "asset_count",
+            "page_size",
+            "asset_size",
+            "total_redirects",
+            "queue_counter",
+            "n_waves",
+            "current_status",
+        )
+
+    # finished-sink final statistics row (lib/crawl_job.rb:74-84,
+    # lifecycle per lib/stats.rb:27-41)
+    q["crawl_run_summary"] = _run_summary
+    # per-minute time-series stats under the deterministic crawl clock
+    # (lib/stats.rb:106-145)
+    q["mime_family_minute_counts"] = lambda spark, sf: (
+        stats_ops.mime_family_minute_counts(_crawl(spark, "default").pages)
+    )
+    q["status_class_minute_counts"] = lambda spark, sf: (
+        stats_ops.status_class_minute_counts(_crawl(spark, "default").pages)
+    )
+
+    def _head_fetch(spark, sf):
+        from cobweb_spark.config import CrawlConfig
+        from cobweb_spark.operators.sinks import head_fetch
+        from cobweb_spark.testkit import fixtures as fx
+
+        docs = load_documents(spark, man["corpora"]["seed_redirect"])
+        frontier = spark.createDataFrame(
+            [(u,) for u in _HEAD_URLS], "url string"
+        )
+        return head_fetch(frontier, docs, CrawlConfig()).select(
+            "url",
+            "fetch_url",
+            "base_url",
+            "status_code",
+            "mime_type",
+            "character_set",
+            F.concat_ws(
+                "|", F.coalesce("redirect_through", F.array())
+            ).alias("redirects"),
+            "error",
+        )
+
+    q["head_fetch"] = _head_fetch
+
+    def _report_roundtrip(spark, sf):
+        from cobweb_spark.operators.sinks import write_report_csv
+
+        res = _crawl(spark, "default")
+        docs = load_documents(spark, man["corpora"]["sample_site"])
+        path = os.path.join(CACHE, "report_csv")
+        write_report_csv(res.pages, docs, path)
+        # the round trip IS the point: the sink's CSV read back with the
+        # report schema must equal the oracle's recomputation
+        return spark.read.csv(path, header=True, schema=_REPORT_SCHEMA)
+
+    q["report_roundtrip"] = _report_roundtrip
+
+    def _export_roundtrip(spark, sf):
+        from cobweb_spark.operators.sinks import write_export
+
+        res = _crawl(spark, "default")
+        docs = load_documents(spark, man["corpora"]["sample_site"])
+        path = os.path.join(CACHE, "export_parquet")
+        write_export(res.pages, docs, path)
+        back = spark.read.parquet(path)
+        return back.select(
+            "url",
+            "fetch_url",
+            "fetch_order",
+            "host",
+            "mime_type",
+            F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+        )
+
+    q["export_roundtrip"] = _export_roundtrip
+
     q["crawl_scalar_stats"] = lambda spark, sf: (
         _crawl(spark, "default")
         .pages.filter("permitted")
@@ -284,6 +479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_path = man["corpus"]
     q["extract_category_counts"] = lambda spark, sf: category_counts(
         load_documents(spark, corpus_path)
+    )
+    # additional_tags extension point (lib/content_link_parser.rb:28-31):
+    # the custom 'video_src' kind only yields links through _CUSTOM_TAGS
+    from cobweb_spark.config import CrawlConfig as _CC
+
+    q["extract_category_counts_custom"] = lambda spark, sf: category_counts(
+        load_documents(spark, man["corpora"]["seed_redirect"]),
+        _CC(additional_tags=_CUSTOM_TAGS).kind_categories(),
     )
     q["corpus_mime_counts"] = lambda spark, sf: (
         load_documents(spark, corpus_path)
@@ -346,16 +549,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- per-page DocumentScope projection (lib/document.rb DSL) ---
-    from cobweb_spark.operators.document_scope import document_scope
+    from cobweb_spark.operators.document_scope import (
+        SpanScope,
+        document_scope,
+    )
 
     q["document_scope"] = lambda spark, sf: document_scope(
         load_documents(spark, corpus_path)
     )
 
-    # --- multimodal plumbing (stubbed decode; rows-only check) ---
+    def _scope_dsl(spark, sf):
+        s = SpanScope()
+        return load_documents(spark, corpus_path).select(
+            "doc_id",
+            s.tags("a").count().alias("n_anchors"),
+            s.tag("title").text().alias("title"),
+            s.tags_with("meta_name", "description=").count().alias(
+                "n_desc"
+            ),
+            s.tags("img", "script").count().alias("n_img_script"),
+        )
+
+    # generic chainable DSL (method_missing x_tags / x_tag_with_y,
+    # lib/document.rb:5-32) — arbitrary user projection, not the fixed
+    # report columns
+    q["document_scope_dsl"] = _scope_dsl
+
+    # --- multimodal: REAL PNG/WAV decode vs the generator's stored
+    # metadata (payload bytes live in the media_store blob table) ---
     q["media_decode_features"] = lambda spark, sf: decode_media(
-        media_payloads(load_documents(spark, corpus_path))
-    ).select("doc_id", "media_ref", "media_kind", "n_bytes", "width", "height")
+        media_payloads(
+            load_documents(spark, corpus_path),
+            spark.read.parquet(man["media_store"]),
+        )
+    ).select(
+        "doc_id",
+        "media_ref",
+        "media_kind",
+        "format",
+        "n_bytes",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+    )
 
     from cobweb_spark.session import ensure_shipped
 
@@ -395,6 +632,18 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_pages_limit10"] = f"SELECT * FROM {rp(g['pages_limit10'])}"
     sql["crawl_pages_polite3"] = f"SELECT * FROM {rp(g['pages_polite3'])}"
     sql["crawl_pages_robots"] = f"SELECT * FROM {rp(g['pages_robots'])}"
+    sql["crawl_pages_limit5_by_page"] = (
+        f"SELECT * FROM {rp(g['pages_limit5bp'])}"
+    )
+    sql["crawl_pages_linked_external"] = (
+        f"SELECT * FROM {rp(g['pages_linked_ext'])}"
+    )
+    sql["crawl_pages_seed_redirect"] = (
+        f"SELECT * FROM {rp(g['pages_seed_redirect'])}"
+    )
+    sql["crawl_seen_seed_redirect"] = (
+        f"SELECT url FROM {rp(g['seen_seed_redirect'])}"
+    )
     sql["crawl_edges"] = f"SELECT src, dst FROM {rp(g['edges_default'])}"
     sql["crawl_inbound_links"] = (
         f"SELECT url, src FROM {rp(g['inbound_default'])}"
@@ -418,6 +667,78 @@ def oracle_sql() -> dict[str, str]:
                    ELSE array_length(string_split(redirects, '|'), 1)
                    END)::BIGINT AS total_redirects
         FROM {rp(g['pages_default'])} WHERE permitted"""
+
+    IS_PAGE = r"regexp_matches(mime_type, 'text/html|application/xhtml\+xml')"
+    N_REDIR = (
+        "CASE WHEN redirects = '' THEN 0 "
+        "ELSE array_length(string_split(redirects, '|'), 1) END"
+    )
+    sql["crawl_run_summary"] = f"""
+        SELECT count(*)::BIGINT AS crawl_counter,
+               sum(length)::BIGINT AS total_length,
+               min(length) AS minimum_length,
+               max(length) AS maximum_length,
+               min(response_time) AS minimum_response_time,
+               max(response_time) AS maximum_response_time,
+               sum(CASE WHEN {IS_PAGE} THEN 1 ELSE 0 END)::BIGINT
+                   AS page_count,
+               sum(CASE WHEN {IS_PAGE} THEN 0 ELSE 1 END)::BIGINT
+                   AS asset_count,
+               sum(CASE WHEN {IS_PAGE} THEN length ELSE 0 END)::BIGINT
+                   AS page_size,
+               sum(CASE WHEN {IS_PAGE} THEN 0 ELSE length END)::BIGINT
+                   AS asset_size,
+               sum({N_REDIR})::BIGINT AS total_redirects,
+               0::INT AS queue_counter,
+               (SELECT (max(wave_id) + 1)::INT
+                FROM {rp(g['pages_default'])}) AS n_waves,
+               'Crawl Finished' AS current_status
+        FROM {rp(g['pages_default'])} WHERE permitted"""
+    sql["mime_family_minute_counts"] = f"""
+        SELECT CAST(floor(fetch_order / 60) AS INT) AS minute,
+               string_split(coalesce(mime_type, ''), '/')[1] AS mime_family,
+               count(*)::BIGINT AS n
+        FROM {rp(g['pages_default'])} WHERE permitted GROUP BY 1, 2"""
+    sql["status_class_minute_counts"] = f"""
+        SELECT CAST(floor(fetch_order / 60) AS INT) AS minute,
+               CAST(floor(status_code / 100) * 100 AS INT) AS status_class,
+               count(*)::BIGINT AS n
+        FROM {rp(g['pages_default'])} WHERE permitted GROUP BY 1, 2"""
+
+    seed_corpus = man["corpora"]["seed_redirect"]
+    head_values = ", ".join(f"('{u}')" for u in _HEAD_URLS)
+    sql["head_fetch"] = f"""
+        WITH v(url) AS (VALUES {head_values}),
+        c1 AS (
+            SELECT v.url AS url, c.status_code AS s1, c.location AS l1
+            FROM v LEFT JOIN {rp(seed_corpus)} c ON c.doc_id = v.url
+        ), r AS (
+            SELECT url,
+                   CASE WHEN s1 >= 300 AND s1 < 400 THEN l1 ELSE url END
+                       AS fetch_url,
+                   CASE WHEN s1 >= 300 AND s1 < 400
+                        THEN url || '|' || l1 ELSE '' END AS redirects
+            FROM c1
+        ), c2 AS (
+            SELECT r.url, r.fetch_url, r.redirects,
+                   c.status_code, c.mime_type, c.character_set
+            FROM r LEFT JOIN {rp(seed_corpus)} c ON c.doc_id = r.fetch_url
+        )
+        SELECT url, fetch_url, url AS base_url,
+               coalesce(status_code, 404) AS status_code,
+               coalesce(mime_type, '') AS mime_type,
+               character_set, redirects, NULL::VARCHAR AS error
+        FROM c2"""
+
+    sql["report_roundtrip"] = f"""
+        WITH scope AS ({{SCOPE}})
+        SELECT p.queued_url AS url, p.url AS fetch_url, p.fetch_order,
+               p.depth, s.mime_type, s.status_code, s.length, s.title,
+               s.meta_description, s.meta_keywords, s.first_rel_link,
+               s.image_count, s.script_count, s.style_count, s.anchor_count
+        FROM {rp(g['pages_default'])} p
+        LEFT JOIN scope s ON s.doc_id = p.url
+        WHERE p.permitted"""
 
     # extraction: cross-engine explode/unnest
     kind_values = ", ".join(
@@ -459,6 +780,62 @@ def oracle_sql() -> dict[str, str]:
                len(list_filter(spans, s -> s.kind = 'a'))::INT
                    AS anchor_count
         FROM {rp(corpus)}"""
+    sql["report_roundtrip"] = sql["report_roundtrip"].replace(
+        "{SCOPE}", sql["document_scope"]
+    )
+    sql["document_scope_dsl"] = f"""
+        SELECT doc_id,
+               len(list_filter(spans, s -> s.kind = 'a'))::INT AS n_anchors,
+               coalesce(list_filter(spans, s -> s.kind = 'title')[1].text,
+                        '') AS title,
+               len(list_filter(spans, s -> s.kind = 'meta_name'
+                      AND s.text LIKE 'description=%'))::INT AS n_desc,
+               len(list_filter(spans, s -> s.kind = 'img'
+                      OR s.kind = 'script'))::INT AS n_img_script
+        FROM {rp(corpus)}"""
+    sql["export_roundtrip"] = f"""
+        SELECT p.queued_url AS url, p.url AS fetch_url, p.fetch_order,
+               regexp_extract(p.queued_url, '^[a-z]+://([^/]+)', 1) AS host,
+               p.mime_type,
+               coalesce(len(c.spans), 0)::INT AS n_spans
+        FROM {rp(g['pages_default'])} p
+        LEFT JOIN {rp(corpus)} c ON c.doc_id = p.url"""
+
+    # additional_tags: same unnest/join with the merged kind table
+    custom_kc = dict(LINK_KIND_CATEGORIES)
+    custom_kc.update(_CUSTOM_TAGS)
+    custom_kind_values = ", ".join(
+        f"('{k}', '{cat}')"
+        for k, cats in custom_kc.items()
+        for (cat, _cr, _sr) in cats
+    )
+    sql["extract_category_counts_custom"] = f"""
+        WITH flat AS (
+            SELECT doc_id, unnest(spans) AS s FROM {rp(seed_corpus)}
+        ), hits AS (
+            SELECT doc_id, s.kind AS kind, s.text AS text FROM flat
+        ), kinds(kind, category) AS (VALUES {custom_kind_values})
+        SELECT doc_id, category, count(DISTINCT text)::BIGINT AS n_links
+        FROM hits JOIN kinds USING (kind)
+        WHERE text IS NOT NULL
+        GROUP BY doc_id, category"""
+
+    # multimodal: the Spark side DECODES the payload bytes; the oracle
+    # reads the generator's stored ground-truth metadata — agreement is
+    # the decoder check
+    media_store = man["media_store"]
+    sql["media_decode_features"] = f"""
+        WITH refs AS (
+            SELECT doc_id, s.media_ref AS media_ref FROM (
+                SELECT doc_id, unnest(spans) AS s FROM {rp(corpus)}
+            ) WHERE s.media_ref IS NOT NULL
+        )
+        SELECT r.doc_id, r.media_ref, m.media_kind,
+               CASE WHEN m.media_kind = 'image/png' THEN 'png'
+                    WHEN m.media_kind = 'audio/wav' THEN 'wav'
+                    ELSE 'unknown' END AS format,
+               m.n_bytes, m.width, m.height, m.sample_rate, m.n_samples
+        FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
 
     # text ops — identical md5-derived hashing in both engines
     H = "('0x' || substr(md5(token), 1, 15))::BIGINT"
@@ -596,6 +973,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= 5"""
 
+    # sign-LSH ANN: identical md5-derived hyperplanes emitted as literals,
+    # so DuckDB computes the same buckets, the same Hamming-1 multiprobe
+    # and the same within-bucket exact ranking as similarity.lsh_ann_topk
+    from cobweb_spark.operators.similarity import _hyperplanes
+
+    N_PLANES, DIM = 8, 64
+    planes = _hyperplanes(DIM, N_PLANES)
+    bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(v) for v in plane)
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    flips = ", ".join(
+        f"({v})" for v in [0] + [1 << p for p in range(N_PLANES)]
+    )
+    sql["ann_lsh_topk"] = f"""
+        WITH buckets AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   ({bucket_expr}) AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+            FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)
+        ), probes AS (
+            SELECT query_id, q_emb, xor(q_bucket, f.flip) AS p_bucket
+            FROM q CROSS JOIN (VALUES {flips}) f(flip)
+        ), scored AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(p.q_emb, c.emb) /
+                         (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                          sqrt(list_dot_product(c.emb, c.emb))), 6)
+                       AS cosine
+            FROM probes p JOIN buckets c ON p.p_bucket = c.bucket
+            WHERE p.query_id <> c.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5"""
+
     sql["events_minute_counts"] = """
         SELECT date_trunc('minute', ts) AS minute, event_type,
                count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
@@ -605,7 +1026,4 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 100"""
 
-    # (crawl_* entries not listed here and ann_lsh_topk /
-    # media_decode_features are rows-only by design: iterative crawl and
-    # approximate/stubbed ops)
     return sql

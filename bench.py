@@ -51,13 +51,18 @@ def main() -> dict:
     docs = load_documents(spark, corpus_path)
 
     # --- headline: full crawl, URLs fetched+deduped/sec ---
+    # the bloom/cuckoo seen-prefilter (north rule) is ON by default
+    # (CrawlConfig.use_seen_prefilter); COBWEB_BENCH_PREFILTER=0 disables,
+    # =both also measures the anti-join-only path for comparison
     budget = os.environ.get("COBWEB_BENCH_BUDGET")
+    prefilter_mode = os.environ.get("COBWEB_BENCH_PREFILTER", "1")
     cfg = CrawlConfig(
         internal_urls=["http://*"],
         seed_urls=seeds,
         host_budget=int(budget) if budget else None,
         store_inbound_links=False,
         precompute_edges=True,
+        use_seen_prefilter=prefilter_mode != "0",
     )
     t0 = time.time()
     res = SparkCrawler(spark, docs, cfg).crawl(None)
@@ -66,6 +71,14 @@ def main() -> dict:
     t_crawl = time.time() - t0
     timings["crawl_scale"] = round(t_crawl, 3)
     urls_per_sec = round(n_fetched / t_crawl, 1)
+
+    if prefilter_mode == "both":
+        t0 = time.time()
+        res2 = SparkCrawler(
+            spark, docs, cfg.with_(use_seen_prefilter=False)
+        ).crawl(None)
+        res2.pages.count()
+        timings["crawl_scale_noprefilter"] = round(time.time() - t0, 3)
 
     # --- extraction-only throughput (links extracted/sec) ---
     t0 = time.time()

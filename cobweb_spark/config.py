@@ -41,6 +41,15 @@ class CrawlConfig:
     # internal pages (lib/cobweb_crawler.rb:28,108)
     crawl_linked_external: bool = False
     store_inbound_links: bool = True
+    # extraction extension points (lib/content_link_parser.rb:28-31):
+    # ignore_default_tags clears the built-in kind→category table;
+    # additional_tags merges extra entries, each mapping a span kind to a
+    # list of (category, category_rank, selector_rank) tuples — the span
+    # model's analogue of the reference's category → [(selector, attr)]
+    # hash (a custom Nokogiri selector becomes a custom span kind emitted
+    # by the corpus parser).
+    ignore_default_tags: bool = False
+    additional_tags: dict | None = None
 
     # --- corpus/fetch model (replaces the live HTTP layer) ---
     # What a URL absent from the corpus returns. 404 with an EMPTY mime
@@ -89,12 +98,33 @@ class CrawlConfig:
             return []
         return default_internal_patterns(base_url)
 
-    def classifier(self, base_url: str | None) -> LinkClassifier:
+    def classifier(
+        self,
+        base_url: str | None,
+        extra_internal: list[str] | None = None,
+    ) -> LinkClassifier:
+        """``extra_internal`` carries the first-page-redirect widening
+        (lib/crawl.rb:348-356 / lib/crawl_helper.rb:201-209): when the
+        first fetched page redirects, the destination's ``scheme://host/*``
+        joins the internal patterns."""
         return LinkClassifier.compile(
-            self.resolved_internal_urls(base_url),
+            self.resolved_internal_urls(base_url) + list(extra_internal or []),
             self.external_urls,
             self.treat_https_as_http,
         )
+
+    def kind_categories(self) -> dict:
+        """Effective span-kind → [(category, cat_rank, sel_rank)] table:
+        defaults (model.LINK_KIND_CATEGORIES) unless ignore_default_tags,
+        merged (``Hash#merge!`` semantics — same-key entries override) with
+        additional_tags (lib/content_link_parser.rb:28-31)."""
+        from .model import LINK_KIND_CATEGORIES
+
+        base = {} if self.ignore_default_tags else dict(LINK_KIND_CATEGORIES)
+        if self.additional_tags:
+            for kind, cats in self.additional_tags.items():
+                base[kind] = [tuple(c) for c in cats]
+        return base
 
     @property
     def valid_mime_re(self) -> str:

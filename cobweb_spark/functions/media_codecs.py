@@ -1,0 +1,149 @@
+"""Pure-Python (stdlib-only) media codecs: PNG and WAV.
+
+The reference carries binary bodies opaquely (Base64 in the content hash,
+``lib/cobweb.rb:232``); our engine decodes them. No codec libraries exist
+in this container, but PNG headers/chunks and RIFF/WAVE headers need none —
+encode and decode are a few dozen lines of struct packing over zlib.
+
+Used three ways:
+* fixtures generate REAL payload bytes (valid PNG/WAV files) with known
+  metadata stored beside them,
+* ``operators.multimodal.decode_media`` parses the bytes back inside an
+  Arrow-batched ``mapInPandas``,
+* the DuckDB oracle reads the stored metadata — decode output vs generator
+  metadata is a genuine cross-check of the decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A minimal valid 8-bit grayscale PNG with deterministic pixel data."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    # scanlines: filter byte 0 + deterministic pixels
+    raster = bytearray()
+    for y in range(height):
+        raster.append(0)
+        for x in range(width):
+            raster.append((seed + x * 31 + y * 17) & 0xFF)
+    idat = zlib.compress(bytes(raster), 6)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR chunk; None if not a PNG."""
+    if payload is None or len(payload) < 24:
+        return None
+    if payload[:8] != PNG_SIGNATURE or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height
+
+
+def decode_png_pixels(payload: bytes) -> bytes | None:
+    """Full decode of the grayscale-no-filter PNGs ``encode_png`` emits:
+    inflate IDAT, strip the per-scanline filter byte. Returns raw pixels
+    (row-major) or None if the file isn't such a PNG."""
+    hdr = decode_png_header(payload)
+    if hdr is None:
+        return None
+    width, height = hdr
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raster = zlib.decompress(bytes(idat))
+    stride = width + 1
+    out = bytearray()
+    for y in range(height):
+        row = raster[y * stride : (y + 1) * stride]
+        if not row or row[0] != 0:
+            return None  # only filter-0 scanlines supported
+        out += row[1:]
+    return bytes(out)
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int, n_channels: int = 1, seed: int = 0
+) -> bytes:
+    """A minimal valid PCM16 WAV with deterministic sample data."""
+    frames = bytearray()
+    for i in range(n_samples * n_channels):
+        v = ((seed + i * 2654435761) & 0xFFFF) - 0x8000
+        frames += struct.pack("<h", v)
+    data = bytes(frames)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(
+    payload: bytes,
+) -> tuple[int, int, int] | None:
+    """(sample_rate, n_channels, n_samples) from RIFF/fmt/data chunks;
+    None if not a PCM WAV."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    sample_rate = n_channels = block_align = None
+    n_samples = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fmt " and length >= 16:
+            _fmt, n_channels, sample_rate, _br, block_align, _bits = (
+                struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+            )
+        elif tag == b"data" and block_align:
+            n_samples = length // block_align
+        pos += 8 + length + (length & 1)
+    if sample_rate is None or n_samples is None:
+        return None
+    return sample_rate, n_channels, n_samples
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte format sniff — a real decoder never trusts the file
+    extension."""
+    if payload is None:
+        return "unknown"
+    if payload[:8] == PNG_SIGNATURE:
+        return "png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"

@@ -51,33 +51,33 @@ def select_internal(
     return out.filter(F.col("link") != "")
 
 
-def robots_gate(
-    candidates: DataFrame, robots: DataFrame | None, cfg: CrawlConfig
+def compile_robots_rules(
+    robots: DataFrame, user_agent: str
 ) -> DataFrame:
-    """Reject links disallowed by per-host robots rules.
+    """(host, user_agent, rule, pattern, rank) rows → one compiled
+    (host, allow_re, disallow_re) row per host.
 
-    Rules (host, user_agent, rule, pattern, rank) are compiled driver-side
-    into per-host (allow_re, disallow_re) pairs — allow checked first, then
-    disallow, else allowed (``lib/robots.rb:28-37``; user-agent fallback to
-    ``*`` per ``lib/robots.rb:17-21``) — then broadcast-joined on host and
-    evaluated with JVM rlike. The rules table is tiny relative to the link
-    stream, so this is a broadcast hash join with no shuffle.
+    Fully distributed (groupBy host + applyInPandas): at millions of hosts
+    a driver-side collect would OOM — each host's handful of rules compiles
+    independently inside its shuffle partition. Hosts whose rules name
+    neither our user-agent nor ``*`` emit no row (⇒ allowed via the left
+    join's nulls), matching ``lib/robots.rb:17-21``.
     """
-    if not cfg.obey_robots or robots is None:
-        return candidates
-    spark = candidates.sparkSession
-    rows = robots.collect()
-    by_host: dict[str, dict[str, dict[str, list]]] = {}
-    for r in rows:
-        by_host.setdefault(r["host"], {}).setdefault(
-            r["user_agent"].lower(), {"allow": [], "disallow": []}
-        )[r["rule"]].append((r["rank"], r["pattern"]))
-    compiled = []
-    ua = cfg.user_agent.lower()
-    for host, uas in by_host.items():
+    import pandas as pd
+
+    ua = user_agent.lower()
+
+    def compile_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        uas: dict[str, dict[str, list]] = {}
+        for r in pdf.itertuples(index=False):
+            uas.setdefault(
+                r.user_agent.lower(), {"allow": [], "disallow": []}
+            )[r.rule].append((r.rank, r.pattern))
         params = uas.get(ua) or uas.get("*")
         if params is None:
-            continue
+            return pd.DataFrame(
+                columns=["host", "allow_re", "disallow_re"]
+            )
         allow_re = (
             "|".join(
                 escape_pattern_for_regex(p)
@@ -92,16 +92,56 @@ def robots_gate(
             )
             or "(?!)"
         )
-        compiled.append((host, allow_re, disallow_re))
-    if not compiled:
-        return candidates
-    rules_df = spark.createDataFrame(
-        compiled, "host string, allow_re string, disallow_re string"
+        return pd.DataFrame(
+            {
+                "host": [pdf["host"].iloc[0]],
+                "allow_re": [allow_re],
+                "disallow_re": [disallow_re],
+            }
+        )
+
+    return robots.groupBy("host").applyInPandas(
+        compile_host, "host string, allow_re string, disallow_re string"
     )
+
+
+# rules tables under this many hosts broadcast to the classify join; above
+# it the join shuffles on host (a million-host rules table must never be
+# collected or broadcast)
+ROBOTS_BROADCAST_MAX_HOSTS = 100_000
+
+
+def robots_gate(
+    candidates: DataFrame,
+    robots: DataFrame | None,
+    cfg: CrawlConfig,
+    compiled: tuple[DataFrame, int] | None = None,
+) -> DataFrame:
+    """Reject links disallowed by per-host robots rules.
+
+    Rules are compiled per host in a DISTRIBUTED pass (see
+    ``compile_robots_rules``) into (allow_re, disallow_re) pairs — allow
+    checked first, then disallow, else allowed (``lib/robots.rb:28-37``) —
+    then joined on host and evaluated with JVM rlike. Small rule tables
+    broadcast; big ones shuffle on the host key. Callers joining per wave
+    pass ``compiled`` — a (materialized compile_robots_rules output, host
+    count) pair — so compilation and counting run once per crawl.
+    """
+    if not cfg.obey_robots or robots is None:
+        return candidates
+    if compiled is not None:
+        rules_df, n_hosts = compiled
+    else:
+        rules_df = compile_robots_rules(robots, cfg.user_agent)
+        n_hosts = rules_df.count()
+    if n_hosts == 0:
+        return candidates
+    if n_hosts <= ROBOTS_BROADCAST_MAX_HOSTS:
+        rules_df = F.broadcast(rules_df)
     with_host = candidates.withColumn("__host", host_udf("link"))
     path = F.parse_url(F.col("link"), F.lit("PATH"))
     joined = with_host.join(
-        F.broadcast(rules_df),
+        rules_df,
         with_host["__host"] == rules_df["host"],
         "left",
     )

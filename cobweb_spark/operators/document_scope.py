@@ -32,6 +32,75 @@ def _meta_value(name: str):
     return F.substring(hit, len(name) + 2, 1 << 20)
 
 
+class SpanScope:
+    """Generic DocumentScope DSL over a spans column — the span-model
+    analogue of the reference's chainable ``method_missing`` selectors
+    (``lib/document.rb:5-32``): ``x_tags`` narrows to every x span,
+    ``x_tag`` to the first, ``x_tag(s)_with_y(value)`` filters on the
+    pre-parsed attribute payload. Terminals (``text``/``texts``/``count``/
+    ``media_refs``) are pure-JVM higher-order-function Columns usable in
+    any ``select`` — arbitrary user projections, not a fixed column set.
+
+    >>> s = SpanScope()
+    >>> df.select(s.tags("a").count().alias("n_anchors"),
+    ...           s.tag("title").text().alias("title"),
+    ...           s.tags_with("meta_name", "description=").text())
+    """
+
+    def __init__(self, arr=None):
+        self._arr = F.col("spans") if arr is None else arr
+
+    # -- chainable narrowing ------------------------------------------------
+    def tags(self, *kinds: str):
+        cond = (
+            (lambda s: s["kind"] == F.lit(kinds[0]))
+            if len(kinds) == 1
+            else (lambda s: s["kind"].isin(*[F.lit(k) for k in kinds]))
+        )
+        return SpanScope(F.filter(self._arr, cond))
+
+    def tag(self, kind: str):
+        """First matching span only (``x_tag`` / Nokogiri ``at``)."""
+        return SpanScope(
+            F.slice(
+                F.filter(
+                    self._arr, lambda s: s["kind"] == F.lit(kind)
+                ),
+                1,
+                1,
+            )
+        )
+
+    def tags_with(self, kind: str, text_prefix: str):
+        """``x_tags_with_y``: attribute match — in the span model the
+        attribute rides in ``text`` as ``name=value``."""
+        return SpanScope(
+            F.filter(
+                self._arr,
+                lambda s: (s["kind"] == F.lit(kind))
+                & s["text"].startswith(F.lit(text_prefix)),
+            )
+        )
+
+    # -- terminals (Columns) ------------------------------------------------
+    def count(self):
+        return F.coalesce(F.size(self._arr), F.lit(0))
+
+    def texts(self):
+        return F.transform(self._arr, lambda s: s["text"])
+
+    def text(self):
+        """Concatenated contents (``DocumentScope#contents``) — for a
+        single-span scope, the span text itself."""
+        return F.concat_ws("", self.texts())
+
+    def first_text(self):
+        return F.try_element_at(self._arr, F.lit(1))["text"]
+
+    def media_refs(self):
+        return F.transform(self._arr, lambda s: s["media_ref"])
+
+
 def document_scope(documents: DataFrame) -> DataFrame:
     """One row per document with the report columns
     (lib/report_command.rb:26-34): title, meta description/keywords,

@@ -27,15 +27,20 @@ from ..model import LINK_KIND_CATEGORIES
 from ..urls import LOOP_RE_1, LOOP_RE_2, join_no_fragment
 
 # static kind → (category_rank, selector_rank) rows; stylesheet links fan
-# out to two categories (related + styles)
-_KIND_ROWS = [
-    (kind, crank, srank)
-    for kind, cats in LINK_KIND_CATEGORIES.items()
-    for (_cat, crank, srank) in cats
-]
-_KIND_TABLE = pd.DataFrame(
-    _KIND_ROWS, columns=["kind", "cat_rank", "sel_rank"]
-)
+# out to two categories (related + styles). Custom tables come from
+# CrawlConfig.kind_categories() (additional_tags / ignore_default_tags,
+# lib/content_link_parser.rb:28-31).
+def _kind_table(kind_categories: dict | None) -> pd.DataFrame:
+    kc = LINK_KIND_CATEGORIES if kind_categories is None else kind_categories
+    rows = [
+        (kind, crank, srank)
+        for kind, cats in kc.items()
+        for (_cat, crank, srank) in cats
+    ]
+    return pd.DataFrame(rows, columns=["kind", "cat_rank", "sel_rank"])
+
+
+_KIND_TABLE = _kind_table(None)
 
 CANDIDATES_SCHEMA = T.StructType(
     [
@@ -59,7 +64,7 @@ _EMPTY = {
 }
 
 
-def _extract_arrow_batch(batch) -> pd.DataFrame:
+def _extract_arrow_batch(batch, kind_table: pd.DataFrame) -> pd.DataFrame:
     """One Arrow RecordBatch of pages → candidate links (pandas).
 
     The span arrays are flattened with pyarrow (zero dict materialization
@@ -101,10 +106,12 @@ def _extract_arrow_batch(batch) -> pd.DataFrame:
             "page_idx": page_idx,
         }
     )
-    return _extract_flat(pdf, flat)
+    return _extract_flat(pdf, flat, kind_table)
 
 
-def _extract_flat(pdf: pd.DataFrame, flat: pd.DataFrame) -> pd.DataFrame:
+def _extract_flat(
+    pdf: pd.DataFrame, flat: pd.DataFrame, kind_table: pd.DataFrame = _KIND_TABLE
+) -> pd.DataFrame:
     empty = pd.DataFrame(_EMPTY)
 
     # per-page <base href> (first base span — Nokogiri @doc.at("base[href]"))
@@ -117,7 +124,7 @@ def _extract_flat(pdf: pd.DataFrame, flat: pd.DataFrame) -> pd.DataFrame:
             if pi not in base_by_page and txt:
                 base_by_page[int(pi)] = txt
 
-    hits = flat.merge(_KIND_TABLE, on="kind", how="inner")
+    hits = flat.merge(kind_table, on="kind", how="inner")
     hits = hits[hits["text"].notna()]
     if len(hits) == 0:
         return empty
@@ -192,7 +199,9 @@ def _extract_flat(pdf: pd.DataFrame, flat: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_links(pages_with_spans: DataFrame) -> DataFrame:
+def extract_links(
+    pages_with_spans: DataFrame, kind_categories: dict | None = None
+) -> DataFrame:
     """pages (parent, parent_url, parent_fetch_order, parent_depth, spans)
     → candidate links, one row per (page, unique absolutized link).
 
@@ -200,7 +209,13 @@ def extract_links(pages_with_spans: DataFrame) -> DataFrame:
     into Python as raw Arrow buffers and are flattened with O(1) pyarrow
     ops — the list-of-dicts conversion mapInPandas would do is ~50× the
     cost of the extraction itself at web scale.
+
+    ``kind_categories`` overrides the default kind→category table
+    (CrawlConfig.kind_categories(): additional_tags / ignore_default_tags).
     """
+    kind_table = (
+        _KIND_TABLE if kind_categories is None else _kind_table(kind_categories)
+    )
 
     def run(iterator):
         import pyarrow as pa
@@ -216,7 +231,7 @@ def extract_links(pages_with_spans: DataFrame) -> DataFrame:
             ]
         )
         for batch in iterator:
-            out = _extract_arrow_batch(batch)
+            out = _extract_arrow_batch(batch, kind_table)
             yield pa.RecordBatch.from_pandas(
                 out, schema=arrow_schema, preserve_index=False
             )
@@ -233,13 +248,16 @@ def extract_links(pages_with_spans: DataFrame) -> DataFrame:
     )
 
 
-def category_counts(documents: DataFrame) -> DataFrame:
+def category_counts(
+    documents: DataFrame, kind_categories: dict | None = None
+) -> DataFrame:
     """Per-document per-category unique-link counts (the link_data surface,
-    ``lib/content_link_parser.rb:35-41``) — pure JVM: explode + higher-order
-    functions, used by tests and the entry queries."""
+    ``lib/content_link_parser.rb:35-41``) — pure JVM: explode + broadcast
+    join against the kind table, used by tests and the entry queries."""
+    kc = LINK_KIND_CATEGORIES if kind_categories is None else kind_categories
     kind_rows = [
         (k, cat, crank, srank)
-        for k, cats in LINK_KIND_CATEGORIES.items()
+        for k, cats in kc.items()
         for (cat, crank, srank) in cats
     ]
     spark = documents.sparkSession

@@ -78,7 +78,12 @@ def _left_lookup(
         .select("fetch_url")
     )
     data_cols = [c for c in META_COLS if c != "doc_id"]
-    missing = left.join(F.broadcast(matched_keys), "fetch_url", "left_anti")
+    # broadcast the matched-key set only when the frontier side is small
+    # enough to broadcast at all: a multi-10M-row wave's key set would OOM
+    # the driver — the big-wave path uses a shuffled anti-join with the
+    # keys as the (right/build) side instead
+    mk = F.broadcast(matched_keys) if broadcast_left else matched_keys
+    missing = left.join(mk, "fetch_url", "left_anti")
     for c, t in zip(
         data_cols,
         ["int", "string", "string", "long", "double", "string"],

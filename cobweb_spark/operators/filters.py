@@ -38,18 +38,54 @@ FILTERS_SCHEMA = T.StructType(
 
 
 class SeenFilterBank:
+    """Filter state lives in a real (scratch parquet) table, re-written
+    per merge — NEVER as a chained in-session lineage. A chained plan
+    (cogroup over last wave's cogroup over ...) grows the logical tree
+    every wave: Catalyst stats estimation, plan canonicalization and AQE
+    explain-string generation all walk it, turning a 30-wave crawl into
+    minutes of driver CPU. A parquet leaf keeps every wave's plan
+    constant-size with real file statistics. In production this scratch
+    table is the Iceberg ``filters`` table the north rule names; in
+    local mode it sits on /dev/shm."""
+
     def __init__(
         self,
         spark: SparkSession,
         n_shards: int = 32,
         capacity_per_shard: int = 1 << 17,
         fpp: float = 0.01,
+        scratch_dir: str | None = None,
     ):
+        import os
+        import tempfile
+
         self.spark = spark
         self.n_shards = n_shards
         self.capacity = capacity_per_shard
         self.fpp = fpp
+        if scratch_dir is None:
+            base = os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else None,
+            )
+            scratch_dir = tempfile.mkdtemp(prefix="seenbank-", dir=base)
+        self._scratch = scratch_dir
+        self._gen = 0
         self.filters = spark.createDataFrame([], FILTERS_SCHEMA)
+
+    def _publish(self, df) -> None:
+        """Materialize the merged bank to a fresh scratch generation and
+        point ``self.filters`` at the parquet leaf; drop the old gen."""
+        import os
+        import shutil
+
+        self._gen += 1
+        path = os.path.join(self._scratch, f"gen={self._gen:06d}")
+        df.write.mode("overwrite").parquet(path)
+        self.filters = self.spark.read.schema(FILTERS_SCHEMA).parquet(path)
+        old = os.path.join(self._scratch, f"gen={self._gen - 1:06d}")
+        if self._gen > 1 and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
 
     # -- helpers -----------------------------------------------------------
     def _keyed(self, df: DataFrame, key_col: str) -> DataFrame:
@@ -106,7 +142,7 @@ class SeenFilterBank:
             .cogroup(self.filters.groupBy("shard"))
             .applyInPandas(merge, FILTERS_SCHEMA)
         )
-        self.filters = merged.localCheckpoint()
+        self._publish(merged)
 
     @staticmethod
     def _load_static(fpdf: pd.DataFrame, cap: int, fpp: float) -> ShardFilter:
@@ -150,6 +186,4 @@ class SeenFilterBank:
         self.filters.write.mode("overwrite").parquet(path)
 
     def load(self, path: str) -> None:
-        self.filters = self.spark.read.schema(FILTERS_SCHEMA).parquet(
-            path
-        ).localCheckpoint()
+        self._publish(self.spark.read.schema(FILTERS_SCHEMA).parquet(path))

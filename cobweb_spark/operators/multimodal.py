@@ -5,12 +5,13 @@ The reference carries binary bodies as Base64 strings in the content hash
 Here media is first-class: an opaque ``binary`` column plus typed metadata,
 processed by Arrow-batched ``mapInPandas`` stages.
 
-The actual image/audio decode is STUBBED (no codec libs in this
-container): ``decode_media`` produces deterministic fake decode metadata
-from the payload bytes when PIL/soundfile are absent, and raises
-NotImplementedError per-format when strict=True. The Spark-side plumbing —
-schema, batch shape, partitioning — is real and tested; swapping in a real
-decoder changes only the inner function.
+Decode is REAL for PNG and WAV (pure-stdlib codecs,
+``functions/media_codecs.py`` — format sniffed from magic bytes, never the
+extension): width/height from the IHDR chunk, sample_rate/channels/samples
+from the RIFF headers, plus a 16-bin byte histogram feature over the
+payload. Formats needing codec libraries absent from this container
+(JPEG/MP3/MP4) raise NotImplementedError under ``strict=True`` and emit
+null dimensions otherwise.
 """
 
 from __future__ import annotations
@@ -22,6 +23,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.media_codecs import (
+    decode_png_header,
+    decode_wav_header,
+    sniff_format,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -37,10 +44,26 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType()),
         T.StructField("media_ref", T.StringType()),
         T.StructField("media_kind", T.StringType()),
+        T.StructField("format", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+MEDIA_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
     ]
 )
 
@@ -56,22 +79,49 @@ def _kind_for_ref(ref: str) -> str:
     return "binary"
 
 
-def media_payloads(documents: DataFrame) -> DataFrame:
-    """Materialize (doc_id, media_ref, payload, media_kind) rows from media
-    spans. Payloads are deterministic bytes derived from the ref (the
-    corpus is synthetic; a real crawl stores the fetched body here)."""
-    refs = (
-        documents.select(
-            "doc_id", F.explode("spans").alias("s")
-        )
+def media_refs(documents: DataFrame) -> DataFrame:
+    """(doc_id, media_ref) rows from media spans."""
+    return (
+        documents.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.media_ref").isNotNull())
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
 
+
+def media_payloads(
+    documents: DataFrame, media_store: DataFrame | None = None
+) -> DataFrame:
+    """Materialize (doc_id, media_ref, payload, media_kind) rows.
+
+    With ``media_store`` (the blob table: media_ref → payload binary — a
+    real crawl stores fetched bodies there), payloads come from an
+    equi-join on media_ref; the store is the small dimension side at test
+    scale (broadcast), a bucketed join at 100 TB. Without a store, payloads
+    fall back to deterministic synthetic bytes (plumbing-only mode).
+    """
+    refs = media_refs(documents)
+    if media_store is not None:
+        store = media_store.select(
+            "media_ref",
+            "payload",
+            F.col("media_kind").alias("__store_kind"),
+        )
+        return (
+            refs.join(F.broadcast(store), "media_ref", "left")
+            .select(
+                "doc_id",
+                "media_ref",
+                "payload",
+                F.coalesce(
+                    F.col("__store_kind"), F.lit("unknown")
+                ).alias("media_kind"),
+            )
+        )
+
     def gen(iterator):
         for pdf in iterator:
             payloads = [
-                hashlib.md5(r.encode()).digest() * 16  # 256 fake bytes
+                hashlib.md5(r.encode()).digest() * 16  # 256 synthetic bytes
                 for r in pdf["media_ref"]
             ]
             yield pd.DataFrame(
@@ -87,46 +137,59 @@ def media_payloads(documents: DataFrame) -> DataFrame:
 
 
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode / feature-extract media payloads (Arrow-batched).
+    """Decode / feature-extract media payloads (Arrow-batched mapInPandas).
 
-    Real decoders are absent in this container: with strict=True this
-    raises NotImplementedError for image/audio/video kinds; otherwise it
-    emits a deterministic 16-dim byte-histogram feature (the fake decode),
-    exercising the exact batch shape a real decoder would use.
+    PNG and WAV decode for real (header parse, stdlib only); every payload
+    additionally gets a 16-bin byte-histogram feature. Unknown formats emit
+    null dimensions — or, with ``strict=True``, raise NotImplementedError
+    (the formats that need codec libs this container doesn't have).
     """
 
     def run(iterator):
-        try:
-            import PIL.Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
         for pdf in iterator:
-            if strict and not have_pil:
-                kinds = set(pdf["media_kind"]) - {"binary"}
-                if kinds:
+            n = len(pdf)
+            fmt = [""] * n
+            widths = np.full(n, np.nan)
+            heights = np.full(n, np.nan)
+            rates = np.full(n, np.nan)
+            samples = np.full(n, np.nan)
+            nbytes = np.zeros(n, dtype=np.int64)
+            feats = []
+            for i, payload in enumerate(pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                nbytes[i] = len(b)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+                feats.append(
+                    (hist / max(hist.sum(), 1)).astype(np.float32)
+                )
+                f = sniff_format(b)
+                fmt[i] = f
+                if f == "png":
+                    wh = decode_png_header(b)
+                    if wh:
+                        widths[i], heights[i] = wh
+                elif f == "wav":
+                    hdr = decode_wav_header(b)
+                    if hdr:
+                        rates[i], _ch, samples[i] = hdr
+                elif strict:
                     raise NotImplementedError(
-                        f"no codec available for media kinds {sorted(kinds)}"
+                        f"no codec for payload format of "
+                        f"{pdf['media_ref'].iloc[i]!r} "
+                        f"(kind={pdf['media_kind'].iloc[i]!r})"
                     )
-            feats, widths, heights, nbytes = [], [], [], []
-            for payload in pdf["payload"]:
-                b = np.frombuffer(payload or b"", dtype=np.uint8)
-                hist, _ = np.histogram(b, bins=16, range=(0, 256))
-                total = max(hist.sum(), 1)
-                feats.append((hist / total).astype(np.float32))
-                nbytes.append(len(b))
-                # fake dimensions derived from payload bytes
-                widths.append(int(b[:2].sum()) + 1 if len(b) >= 2 else 1)
-                heights.append(int(b[2:4].sum()) + 1 if len(b) >= 4 else 1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "media_kind": pdf["media_kind"],
+                    "format": fmt,
                     "n_bytes": pd.Series(nbytes, dtype="int32"),
-                    "width": pd.Series(widths, dtype="int32"),
-                    "height": pd.Series(heights, dtype="int32"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_samples": pd.Series(samples, dtype="Int32"),
                     "feature": feats,
                 }
             )

@@ -75,3 +75,65 @@ def zip_with_order(
             yield pdf
 
     return d.mapInPandas(add_order, schema), total
+
+
+def zip_with_order_bucketed(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str,
+    bucket_col,
+    n_buckets: int,
+    start: int = 0,
+) -> tuple[DataFrame, int]:
+    """``zip_with_order`` without the range-partitioner SAMPLING job, for
+    callers that can compute an order-preserving bucket id directly (e.g.
+    the wave loop knows the exact ``parent_fetch_order`` range).
+
+    ``bucket_col`` must be monotone in the ``sort_cols`` order (rows of a
+    lower sort key never land in a higher bucket). Hash-repartitioning on
+    the bucket id may co-locate several buckets in one task — harmless:
+    offsets are per *bucket*, rows are sorted by (bucket, sort key) within
+    the task, and each bucket group numbers independently. One shuffle +
+    one tiny count job; determinism holds because the sort key is unique.
+    """
+    spark = df.sparkSession
+    d = (
+        df.withColumn("__bkt", bucket_col.cast("int"))
+        .repartition(n_buckets, "__bkt")
+        .sortWithinPartitions("__bkt", *sort_cols)
+        .localCheckpoint(eager=False)
+    )
+    counts = d.groupBy("__bkt").count().collect()
+    by_bkt = {r["__bkt"]: r["count"] for r in counts}
+    offsets = {}
+    acc = start
+    for b in sorted(by_bkt):
+        offsets[b] = acc
+        acc += by_bkt[b]
+    total = acc - start
+    bc = spark.sparkContext.broadcast(offsets)
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def add_order(iterator):
+        taken: dict[int, int] = {}
+        for pdf in iterator:
+            base = np.empty(len(pdf), dtype=np.int64)
+            pos = 0
+            for b, grp in pdf.groupby("__bkt", sort=False):
+                off = bc.value[int(b)] + taken.get(int(b), 0)
+                base[pos : pos + len(grp)] = np.arange(
+                    off, off + len(grp), dtype=np.int64
+                )
+                taken[int(b)] = taken.get(int(b), 0) + len(grp)
+                pos += len(grp)
+            pdf = pdf.copy()
+            pdf[out_col] = base
+            yield pdf.drop(columns=["__bkt"])
+
+    out_schema = T.StructType(
+        [f for f in schema.fields if f.name != "__bkt"]
+    )
+    return d.mapInPandas(add_order, out_schema), total

@@ -86,6 +86,62 @@ def status_class_counts(pages: DataFrame) -> DataFrame:
     )
 
 
+def _virtual_minute():
+    """Deterministic crawl clock: one fetch per second, so minute =
+    floor(fetch_order / 60). The reference buckets its time stats by
+    wall-clock minute of fetch (lib/stats.rb:194-196); under the
+    deterministic-corpus model the virtual clock is the reproducible
+    equivalent (same shape: per-minute windows, trivially parallel — no
+    global cumulative sum)."""
+    return F.floor(F.col("fetch_order") / 60).cast("int")
+
+
+def mime_family_minute_counts(pages: DataFrame) -> DataFrame:
+    """Per-minute per-mime-family time series (lib/stats.rb:106-123)."""
+    family = F.split(F.coalesce(F.col("mime_type"), F.lit("")), "/")[0]
+    return (
+        pages.filter("permitted")
+        .groupBy(
+            _virtual_minute().alias("minute"),
+            family.alias("mime_family"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def status_class_minute_counts(pages: DataFrame) -> DataFrame:
+    """Per-minute 2xx/4xx/5xx time series (lib/stats.rb:138-145)."""
+    cls = (F.floor(F.col("status_code") / 100) * 100).cast("int")
+    return (
+        pages.filter("permitted")
+        .groupBy(
+            _virtual_minute().alias("minute"),
+            cls.alias("status_class"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def run_summary(
+    pages: DataFrame,
+    n_waves: int,
+    queue_counter: int = 0,
+    status: str = "Crawl Finished",
+) -> DataFrame:
+    """The finished-sink row (lib/crawl_job.rb:74-84 enqueues final
+    statistics exactly once; lifecycle fields per lib/stats.rb:27-41).
+
+    One row: scalar stats + lifecycle counters. Wall-clock lifecycle
+    timestamps are attached by the caller at append time (they are not
+    part of the deterministic contract)."""
+    return (
+        scalar_stats(pages)
+        .withColumn("queue_counter", F.lit(int(queue_counter)))
+        .withColumn("n_waves", F.lit(int(n_waves)))
+        .withColumn("current_status", F.lit(status))
+    )
+
+
 def collect_stats(pages: DataFrame) -> dict:
     """Driver-side stats dict in the oracle's shape (small results only)."""
     row = scalar_stats(pages).collect()[0].asDict()

@@ -32,7 +32,7 @@ from collections import defaultdict
 from dataclasses import dataclass, field
 
 from .config import CrawlConfig
-from .model import CATEGORIES, LINK_KIND_CATEGORIES
+from .model import LINK_KIND_CATEGORIES
 from .patterns import LinkClassifier, mime_matches
 from .urls import canonicalize, host_of, is_link_loop, join_no_fragment
 
@@ -87,30 +87,41 @@ class OracleResult:
         return [p.queued_url for p in self.pages]
 
 
-def extract_all_links(page_url: str, spans: list[tuple]) -> list[str]:
+def extract_all_links(
+    page_url: str, spans: list[tuple], kind_categories: dict | None = None
+) -> list[str]:
     """``ContentLinkParser#all_links`` over pre-parsed spans.
 
     Replays ``lib/content_link_parser.rb:35-55``: per-category collection in
     (selector_rank, document_offset) order with per-category uniq, category
-    flattening in links→images→related→scripts→styles order with global
-    uniq, absolutization against <base href> then the page URL, nil drop,
-    repeated-segment loop rejection, http/https scheme filter.
+    flattening in category-rank order (links→images→related→scripts→styles
+    by default; ``kind_categories`` carries additional_tags /
+    ignore_default_tags overrides) with global uniq, absolutization against
+    <base href> then the page URL, nil drop, repeated-segment loop
+    rejection, http/https scheme filter.
     """
+    kc = LINK_KIND_CATEGORIES if kind_categories is None else kind_categories
+    cat_order = [
+        cat
+        for _crank, cat in sorted(
+            {(crank, cat) for cats in kc.values() for (cat, crank, _s) in cats}
+        )
+    ]
     base = ""
     for kind, text, _media, _off in spans:
         if kind == "base" and text:
             base = text
             break
 
-    per_cat: dict[str, list[str]] = {c: [] for c in CATEGORIES}
-    hits: dict[str, list[tuple]] = {c: [] for c in CATEGORIES}
+    per_cat: dict[str, list[str]] = {c: [] for c in cat_order}
+    hits: dict[str, list[tuple]] = {c: [] for c in cat_order}
     for kind, text, media, off in spans:
-        for cat, _crank, srank in LINK_KIND_CATEGORIES.get(kind, ()):
+        for cat, _crank, srank in kc.get(kind, ()):
             raw = text if text is not None else media
             if raw is None:
                 continue
             hits[cat].append((srank, off, raw))
-    for cat in CATEGORIES:
+    for cat in cat_order:
         seen_raw = set()
         for _srank, _off, raw in sorted(hits[cat], key=lambda t: (t[0], t[1])):
             if raw not in seen_raw:
@@ -119,7 +130,7 @@ def extract_all_links(page_url: str, spans: list[tuple]) -> list[str]:
 
     flat: list[str] = []
     seen_raw = set()
-    for cat in CATEGORIES:
+    for cat in cat_order:
         for raw in per_cat[cat]:
             if raw not in seen_raw:
                 seen_raw.add(raw)
@@ -250,6 +261,7 @@ class CrawlOracle:
         classifier = cfg.classifier(base_url)
         valid_mime_re = cfg.valid_mime_re
         text_mime_re = cfg.text_mime_re
+        kind_categories = cfg.kind_categories()
 
         # wave-0 frontier: seed_urls in rank order then base_url
         # (sadd order in lib/cobweb_crawler.rb:26 then :52)
@@ -299,7 +311,29 @@ class CrawlOracle:
                     break
                 content = self._fetch(url)
                 crawled.add(url)
-                if cfg.mark_redirect_final_crawled and content["url"] != url:
+                if (
+                    fetch_order == 0
+                    and cfg.first_page_redirect_internal
+                    and content["redirect_through"]
+                ):
+                    # first fetched page redirected: widen internal_urls
+                    # with the destination's scheme://host/* before any
+                    # link selection (lib/crawl.rb:113,348-356;
+                    # lib/crawl_helper.rb:54,201-209; default-on per
+                    # lib/cobweb.rb:54). redirect_through.last ==
+                    # content[:url], the final chain URL.
+                    from urllib.parse import urlsplit
+
+                    p = urlsplit(content["redirect_through"][-1])
+                    classifier = cfg.classifier(
+                        base_url,
+                        extra_internal=[f"{p.scheme}://{p.hostname}/*"],
+                    )
+                if (
+                    cfg.mark_redirect_final_crawled
+                    and content["url"] is not None
+                    and content["url"] != url
+                ):
                     # redirect final URL also marked crawled
                     # (lib/crawl_helper.rb:35-39)
                     crawled.add(content["url"])
@@ -338,7 +372,7 @@ class CrawlOracle:
 
                 if permitted:
                     document_links = extract_all_links(
-                        content["url"], content["spans"]
+                        content["url"], content["spans"], kind_categories
                     )
                     # per-page uniq (lib/cobweb_crawler.rb:102)
                     document_links = list(dict.fromkeys(document_links))

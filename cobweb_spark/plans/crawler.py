@@ -87,6 +87,9 @@ class SparkCrawlResult:
         ]
 
 
+_AUTO = object()  # sentinel: build the prefilter from config
+
+
 class SparkCrawler:
     """PySpark-native re-implementation of the reference crawl lifecycle
     (``CobwebCrawler#crawl``, ``lib/cobweb_crawler.rb:43-160``)."""
@@ -97,7 +100,7 @@ class SparkCrawler:
         documents: DataFrame,
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
-        seen_prefilter=None,
+        seen_prefilter=_AUTO,
         snapshot_store=None,
     ):
         from ..session import ensure_shipped
@@ -106,6 +109,20 @@ class SparkCrawler:
         self.spark = spark
         self.documents = documents
         self.cfg = config or CrawlConfig()
+        if seen_prefilter is _AUTO:
+            # the north rule's seen tier: bloom+cuckoo bank constructed
+            # from config unless the caller supplies (or disables) one
+            if self.cfg.use_seen_prefilter:
+                from ..operators.filters import SeenFilterBank
+
+                seen_prefilter = SeenFilterBank(
+                    spark,
+                    n_shards=self.cfg.bloom_shards,
+                    capacity_per_shard=self.cfg.bloom_capacity_per_shard,
+                    fpp=self.cfg.bloom_fpp,
+                )
+            else:
+                seen_prefilter = None
         # narrow cached projections: every wave joins against the corpus,
         # so the metadata columns and the (heavy) spans column are cached
         # separately — fetch/redirect joins scan only the small frame.
@@ -134,7 +151,7 @@ class SparkCrawler:
                 "spans",
             )
             self._edges_all = (
-                extract_links(ex_in)
+                extract_links(ex_in, self.cfg.kind_categories())
                 .select(
                     F.col("parent_url").alias("src_doc"),
                     "link",
@@ -145,6 +162,15 @@ class SparkCrawler:
             )
         self._has_redirects: bool | None = None
         self.robots = robots
+        self._robots_compiled = None
+        if robots is not None and self.cfg.obey_robots:
+            # distributed per-host compile, materialized once per crawl
+            from ..operators.classify import compile_robots_rules
+
+            comp = compile_robots_rules(
+                robots, self.cfg.user_agent
+            ).localCheckpoint()
+            self._robots_compiled = (comp, comp.count())
         self.prefilter = seen_prefilter
         self.store = snapshot_store
 
@@ -168,6 +194,7 @@ class SparkCrawler:
         base_url: str | None = None,
         resume: bool = False,
         on_wave=None,
+        on_finished=None,
         cancel=None,
     ) -> SparkCrawlResult:
         """Run the crawl.
@@ -179,8 +206,15 @@ class SparkCrawler:
         the reference's Cancelled status check (``lib/crawl.rb:33-35,65``;
         cancellation drains without fetching, like
         ``lib/cobweb_crawl_helper.rb:18-87``).
+
+        ``on_finished(summary_df)`` is the crawl-finished-queue hook
+        (``lib/crawl_job.rb:74-84``): called exactly once per completed
+        crawl with the one-row final-statistics frame; with a snapshot
+        store, the same row is appended to the ``crawl_runs`` table
+        (exactly-once across resumes via the store's finished marker).
         """
         spark, cfg = self.spark, self.cfg
+        extra_internal: list[str] = []
         classifier = cfg.classifier(base_url)
 
         pages_parts: list[DataFrame] = []
@@ -202,13 +236,22 @@ class SparkCrawler:
             n_fetched = man["counters"]["n_fetched"]
             next_order = man["counters"]["next_order"]
             pages_counted = man["counters"]["pages_counted"]
+            extra_internal = man["counters"].get("extra_internal", [])
+            if extra_internal:
+                classifier = cfg.classifier(base_url, extra_internal)
             wave = latest + 1
-            if man.get("has_filters") and self.prefilter is not None:
-                import os
+            if self.prefilter is not None:
+                if man.get("has_filters"):
+                    import os
 
-                self.prefilter.load(
-                    os.path.join(self.store._wave_dir(latest), "filters")
-                )
+                    self.prefilter.load(
+                        os.path.join(self.store._wave_dir(latest), "filters")
+                    )
+                else:
+                    # snapshot predates the prefilter (or was committed
+                    # with it off): rebuild from the seen set — an empty
+                    # bank would mislabel seen URLs "definitely new"
+                    self.prefilter.add(seen)
         else:
             frontier = self._seed_frontier(base_url).localCheckpoint()
             seen = frontier.select("url").localCheckpoint()
@@ -224,10 +267,14 @@ class SparkCrawler:
 
         import time as _time
 
+        t_started = _time.time()
+
+        cancelled = False
         while wave < cfg.max_waves:
             if n_frontier == 0:
                 break
             if cancel is not None and cancel():
+                cancelled = True
                 break
             _t0 = _time.time()
             remaining = (
@@ -281,11 +328,17 @@ class SparkCrawler:
                 )
                 .withColumn("wave_id", F.lit(wave))
                 .select(*PAGE_COLS)
-                .localCheckpoint()
+                # lazy: the counts agg right below is the first action and
+                # materializes the checkpoint — fetch+checkpoint+count is
+                # ONE job instead of two (wave-loop serial floor)
+                .localCheckpoint(eager=False)
             )
             _t_fetch = _time.time()
             # one agg job: total + countable rows (for crawl_limit_by_page)
-            counts_row = cut.agg(
+            # + redirect-final count (gates the prefilter maintenance job)
+            # + on the first wave, the first page's redirect chain (gates
+            # the first_page_redirect_internal widening)
+            aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
                     F.when(
@@ -295,14 +348,46 @@ class SparkCrawler:
                         1,
                     ).otherwise(0)
                 ).alias("n_pages"),
-            ).collect()[0]
+                F.sum(
+                    F.when(F.col("fetch_url") != F.col("url"), 1).otherwise(0)
+                ).alias("n_finals"),
+            ]
+            want_first_page = (
+                wave == 0
+                and latest is None
+                and cfg.first_page_redirect_internal
+                and bool(self._has_redirects)
+            )
+            if want_first_page:
+                aggs.append(
+                    F.max(
+                        F.when(
+                            F.col("fetch_order") == 0,
+                            F.struct("fetch_url", "redirect_through"),
+                        )
+                    ).alias("first_page")
+                )
+            counts_row = cut.agg(*aggs).collect()[0]
             n_cut = counts_row["n"]
+            if want_first_page and counts_row["first_page"] is not None:
+                fp = counts_row["first_page"]
+                if fp["redirect_through"]:
+                    # first fetched page redirected: widen internal_urls
+                    # with the destination scheme://host/* before this
+                    # wave's link selection (lib/crawl.rb:113,348-356,
+                    # default-on lib/cobweb.rb:54)
+                    from urllib.parse import urlsplit
+
+                    p = urlsplit(fp["fetch_url"])
+                    extra_internal = [f"{p.scheme}://{p.hostname}/*"]
+                    classifier = cfg.classifier(base_url, extra_internal)
             if n_cut == 0:
                 frontier = (
                     deferred if deferred is not None else empty_frontier
                 )
-                if limit_hit:
+                if limit_hit or deferred is None:
                     frontier = empty_frontier
+                    n_frontier = 0
                 break
 
             if cfg.crawl_limit_by_page:
@@ -316,11 +401,17 @@ class SparkCrawler:
             # (lib/crawl_helper.rb:35-39). cut is checkpointed, so this
             # union member is cheap to rescan — seen stays a lazy union of
             # checkpointed parts instead of re-materializing per wave.
-            if cfg.mark_redirect_final_crawled:
+            if cfg.mark_redirect_final_crawled and counts_row["n_finals"]:
                 finals = cut.filter(
                     F.col("fetch_url") != F.col("url")
                 ).select(F.col("fetch_url").alias("url"))
                 seen = seen.unionByName(finals)
+                if self.prefilter is not None:
+                    # the prefilter must cover EVERYTHING in `seen` before
+                    # this wave's reject_seen: a final URL missing from the
+                    # bloom would read as definitely-new and be re-fetched
+                    # when linked directly later
+                    self.prefilter.add(finals)
 
             # extraction input: permitted pages joined with their spans
             to_extract = cut.filter("permitted").select(
@@ -350,7 +441,7 @@ class SparkCrawler:
                     spans_src.doc_id == to_extract.parent_url,
                     "inner",
                 ).drop("doc_id")
-                candidates = extract_links(with_spans)
+                candidates = extract_links(with_spans, cfg.kind_categories())
             if cfg.store_inbound_links:
                 # inbound indexing needs the raw candidate stream twice —
                 # materialize; otherwise let it flow straight through
@@ -358,7 +449,9 @@ class SparkCrawler:
                 cand_parts.append(candidates)
 
             selected = select_internal(candidates, classifier, cfg)
-            selected = robots_gate(selected, self.robots, cfg)
+            selected = robots_gate(
+                selected, self.robots, cfg, compiled=self._robots_compiled
+            )
             # dedup BEFORE the anti-join: map-side combine collapses the
             # duplicate-heavy candidate stream to unique links, so the
             # anti-join (and everything after) touches ~|new links| rows
@@ -370,24 +463,51 @@ class SparkCrawler:
             # memory beats saving a job (lazy variants stacked python
             # stages into one oversized job and OOM'd small executors).
             fresh = fresh.localCheckpoint()
-            fresh, n_new = zip_with_order(
-                fresh,
-                ["parent_fetch_order", "position"],
-                "discovery_order",
-                start=next_order,
-                size_hint=n_cut * 16,
-            )
+            if cfg.host_budget is None:
+                # plain BFS: parent_fetch_order spans exactly
+                # [n_fetched - n_cut, n_fetched) — an exact equi-width
+                # bucket id replaces repartitionByRange and its sampling
+                # job (one less job per wave)
+                n_part = int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                )
+                n_buckets = max(1, min(n_part, (n_cut * 16) // 50_000 + 1))
+                base_fo = n_fetched - n_cut
+                bucket = F.floor(
+                    (F.col("parent_fetch_order") - F.lit(base_fo))
+                    * F.lit(n_buckets)
+                    / F.lit(n_cut)
+                )
+                from ..operators.order import zip_with_order_bucketed
 
-            # eager: bounded executor memory matters more than one job —
-            # a lazy checkpoint here stacks this wave's python stages into
-            # the next wave's first job
+                fresh, n_new = zip_with_order_bucketed(
+                    fresh,
+                    ["parent_fetch_order", "position"],
+                    "discovery_order",
+                    bucket_col=bucket,
+                    n_buckets=n_buckets,
+                    start=next_order,
+                )
+            else:
+                fresh, n_new = zip_with_order(
+                    fresh,
+                    ["parent_fetch_order", "position"],
+                    "discovery_order",
+                    start=next_order,
+                    size_hint=n_cut * 16,
+                )
+
+            # with a prefilter, the add() right below is this wave's next
+            # action and materializes the lazy checkpoint (one fused job);
+            # without one, stay eager — a lazy checkpoint would stack this
+            # wave's python stages into the next wave's first job
             new_frontier = fresh.select(
                 F.col("link").alias("url"),
                 host_udf("link").alias("host"),
                 (F.col("parent_depth") + 1).alias("depth"),
                 "discovery_order",
                 F.col("parent").alias("parent"),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=self.prefilter is None)
             next_order += n_new
 
             edges_wave = fresh.select(
@@ -425,24 +545,35 @@ class SparkCrawler:
                 frontier = new_frontier
                 n_frontier = n_new
 
-            if self.store is not None and (
-                limit_hit or wave % max(cfg.checkpoint_every, 1) == 0
-            ):
-                self.store.commit_wave(
-                    wave_id=wave,
-                    frontier=frontier,
-                    seen=seen,
-                    pages=cut,
-                    edges=edges_wave,
-                    candidates=candidates,
-                    counters={
-                        "n_fetched": n_fetched,
-                        "next_order": next_order,
-                        "pages_counted": pages_counted,
-                    },
-                    metrics=metrics[-1],
-                    filters_bank=self.prefilter,
-                )
+            if self.store is not None:
+                if limit_hit or wave % max(cfg.checkpoint_every, 1) == 0:
+                    self.store.commit_wave(
+                        wave_id=wave,
+                        frontier=frontier,
+                        seen=seen,
+                        pages=cut,
+                        edges=edges_wave,
+                        candidates=candidates,
+                        counters={
+                            "n_fetched": n_fetched,
+                            "next_order": next_order,
+                            "pages_counted": pages_counted,
+                            "extra_internal": extra_internal,
+                        },
+                        metrics=metrics[-1],
+                        filters_bank=self.prefilter,
+                    )
+                else:
+                    # between full snapshots, the per-wave output parts are
+                    # still persisted (cheap appends): on resume from the
+                    # last manifest, load_parts finds every wave ≤ latest —
+                    # no fetch_order holes with checkpoint_every > 1
+                    self.store.commit_parts(
+                        wave_id=wave,
+                        pages=cut,
+                        edges=edges_wave,
+                        candidates=candidates,
+                    )
             if limit_hit:
                 break
             wave += 1
@@ -482,7 +613,7 @@ class SparkCrawler:
             edge_parts,
             self.spark.createDataFrame([], "src string, dst string"),
         )
-        return SparkCrawlResult(
+        result = SparkCrawlResult(
             pages=pages,
             seen=seen.distinct(),
             frontier_remaining=frontier,
@@ -491,3 +622,28 @@ class SparkCrawler:
             n_waves=wave + (1 if pages_parts else 0),
             metrics=metrics,
         )
+        # finished sink: final statistics exactly once per completed crawl
+        # (lib/crawl_job.rb:74-84; first_to_finish lock lib/crawl.rb:241-253
+        # → here, completion is unambiguous and the store marker makes the
+        # append idempotent across resumes). Cancellation drains without a
+        # finished enqueue, like lib/cobweb_crawl_helper.rb.
+        finished = not cancelled and n_frontier == 0
+        if finished and (on_finished is not None or self.store is not None):
+            summary = stats_ops.run_summary(
+                pages, n_waves=result.n_waves, queue_counter=n_frontier
+            )
+            # lifecycle wall-clock timestamps (lib/stats.rb:27-41) ride on
+            # the stored row only — they are not part of the deterministic
+            # contract
+            stamped = summary.withColumn(
+                "crawl_started_at",
+                F.timestamp_millis(F.lit(int(t_started * 1000))),
+            ).withColumn(
+                "finished_at",
+                F.timestamp_millis(F.lit(int(_time.time() * 1000))),
+            )
+            if self.store is not None:
+                self.store.commit_finished(stamped)
+            if on_finished is not None:
+                on_finished(summary)
+        return result

@@ -105,6 +105,58 @@ class SnapshotStore:
         os.replace(latest_tmp, os.path.join(self.dir, "_LATEST"))
         return wdir
 
+    def commit_parts(
+        self,
+        wave_id: int,
+        pages: DataFrame | None = None,
+        edges: DataFrame | None = None,
+        candidates: DataFrame | None = None,
+    ) -> str:
+        """Persist a wave's OUTPUT parts without a manifest / _LATEST bump.
+
+        Used between full snapshots when ``checkpoint_every > 1``: resume
+        replays from the last manifest wave, but the pages/edges/candidates
+        of every earlier wave must exist for ``load_parts`` — counters in
+        manifests are cumulative. Atomic via tmp-dir rename, same as
+        ``commit_wave``.
+        """
+        wdir = self._wave_dir(wave_id)
+        tmp = wdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for name, df in (
+            ("pages", pages),
+            ("edges", edges),
+            ("candidates", candidates),
+        ):
+            if df is not None:
+                df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        if os.path.exists(wdir):
+            shutil.rmtree(wdir)
+        os.rename(tmp, wdir)
+        return wdir
+
+    def commit_finished(self, summary: DataFrame) -> bool:
+        """Append the final-statistics row to the ``crawl_runs`` table,
+        exactly once per crawl (the reference guards with a WATCH/MULTI
+        first_to_finish transaction, ``lib/crawl.rb:241-253``; here the
+        atomic-rename marker makes the append idempotent across resumes).
+        Returns True if this call performed the append."""
+        marker = os.path.join(self.dir, "_FINISHED")
+        if os.path.exists(marker):
+            return False
+        path = os.path.join(self.dir, "crawl_runs")
+        summary.write.mode("append").parquet(path)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("finished")
+        os.replace(tmp, marker)
+        return True
+
+    def load_crawl_runs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "crawl_runs"))
+
     def latest_wave(self) -> int | None:
         marker = os.path.join(self.dir, "_LATEST")
         if not os.path.exists(marker):

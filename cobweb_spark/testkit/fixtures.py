@@ -327,6 +327,94 @@ def build_redirect_loop_corpus(hops: int) -> dict[str, OracleDoc]:
 
 
 # ---------------------------------------------------------------------------
+# T5: seed_redirect — the seed 301s to ANOTHER host
+# (first_page_redirect_internal: lib/crawl.rb:348-356, default-on
+# lib/cobweb.rb:54 — without the widening the crawl dead-ends at the seed)
+# ---------------------------------------------------------------------------
+SEED_REDIRECT_BASE = "http://start.example.com/"
+SEED_REDIRECT_DEST = "http://www.start-example.org"
+
+
+def build_seed_redirect_corpus() -> dict[str, OracleDoc]:
+    base = SEED_REDIRECT_BASE
+    dest = SEED_REDIRECT_DEST
+
+    def page(path: str, spans: list[tuple], mime="text/html", **kw):
+        url = dest + path
+        return OracleDoc(
+            doc_id=url,
+            spans=spans,
+            status_code=kw.pop("status_code", 200),
+            mime_type=mime,
+            character_set="utf-8" if mime.startswith("text/") else None,
+            length=kw.pop("length", 1000 + len(path) * 37),
+            response_time=synthetic_response_time(url),
+            **kw,
+        )
+
+    docs = {
+        base: OracleDoc(
+            doc_id=base,
+            status_code=301,
+            mime_type="text/html",
+            length=0,
+            location=dest + "/",
+            response_time=0.02,
+        ),
+        dest
+        + "/": page(
+            "/",
+            [
+                ("title", "dest index", None, 0),
+                ("a", "/a.html", None, 1),
+                ("a", "/b.html", None, 2),
+                ("link_stylesheet", "/site.css", None, 3),
+            ],
+        ),
+        dest
+        + "/a.html": page(
+            "/a.html",
+            [
+                ("a", "/b.html", None, 0),
+                ("a", "/c.html", None, 1),
+                # custom span kind: ignored by the default tag table,
+                # extracted only via additional_tags
+                ("video_src", "/clip.mp4", None, 2),
+            ],
+        ),
+        dest
+        + "/b.html": page(
+            "/b.html",
+            [
+                ("a", "/c.html", None, 0),
+                # direct link to the redirect FINAL url: must not re-fetch
+                # (mark_redirect_final_crawled + prefilter coverage)
+                ("a", dest + "/", None, 1),
+                ("img", "/m1.jpg", None, 2),
+            ],
+        ),
+        dest
+        + "/c.html": page(
+            "/c.html",
+            [
+                ("a", "http://elsewhere.example.net/x.html", None, 0),
+                ("a", base, None, 1),  # back to the 301 seed (seen)
+            ],
+        ),
+        dest + "/site.css": page(
+            "/site.css", [("text", "site.css", None, 0)], mime="text/css"
+        ),
+        dest + "/m1.jpg": page(
+            "/m1.jpg", [("media", None, "m1.jpg", 0)], mime="image/jpeg"
+        ),
+        dest + "/clip.mp4": page(
+            "/clip.mp4", [("media", None, "clip.mp4", 0)], mime="video/mp4"
+        ),
+    }
+    return docs
+
+
+# ---------------------------------------------------------------------------
 # T4: scale — seeded random web graph, vectorized generation
 # ---------------------------------------------------------------------------
 def build_scale_corpus_arrays(
@@ -483,6 +571,54 @@ def write_scale_corpus(path: str, **kw) -> list[str]:
     # inside one row group, and the span column is Python-stage input
     pq.write_table(tbl, path, row_group_size=20_000)
     return seeds
+
+
+# ---------------------------------------------------------------------------
+# media store: real PNG/WAV payload bytes with stored ground-truth metadata
+# ---------------------------------------------------------------------------
+def build_media_store_rows(refs: list[str]) -> list[dict]:
+    """One row per unique media_ref with a REAL encoded payload (PNG for
+    even-indexed refs, WAV for odd) and the generator's metadata stored
+    beside it — the DuckDB oracle reads the metadata, the Spark decoder
+    parses the bytes; agreement proves the decode."""
+    from ..functions.media_codecs import encode_png, encode_wav
+
+    rows = []
+    for i, ref in enumerate(sorted(set(refs))):
+        h = zlib.crc32(ref.encode())
+        if i % 2 == 0:
+            w = 1 + h % 64
+            ht = 1 + (h >> 8) % 64
+            payload = encode_png(w, ht, seed=h)
+            rows.append(
+                dict(
+                    media_ref=ref,
+                    payload=payload,
+                    media_kind="image/png",
+                    n_bytes=len(payload),
+                    width=w,
+                    height=ht,
+                    sample_rate=None,
+                    n_samples=None,
+                )
+            )
+        else:
+            sr = 8000 + (h % 8) * 1000
+            ns = 16 + h % 240
+            payload = encode_wav(ns, sr, seed=h)
+            rows.append(
+                dict(
+                    media_ref=ref,
+                    payload=payload,
+                    media_kind="audio/wav",
+                    n_bytes=len(payload),
+                    width=None,
+                    height=None,
+                    sample_rate=sr,
+                    n_samples=ns,
+                )
+            )
+    return rows
 
 
 # ---------------------------------------------------------------------------

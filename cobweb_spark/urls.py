@@ -85,12 +85,21 @@ def canonicalize(url: str) -> str:
     """
     if url is None:
         return None
-    parts = urlsplit(url.strip())
-    scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
+    # Malformed/out-of-range ports ("http://h:8x/", "http://h:99999/")
+    # raise ValueError from urlsplit accessors. The reference drops such
+    # links as nil joins (lib/content_link_parser.rb:49); returning None
+    # here mirrors join_no_fragment's nil-drop so one bad href can never
+    # abort a crawl job.
+    try:
+        parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except (ValueError, AttributeError):
+        return None
     netloc = host
-    if parts.port is not None and parts.port != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{parts.port}"
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
     if parts.username:
         cred = parts.username + (f":{parts.password}" if parts.password else "")
         netloc = f"{cred}@{netloc}"

@@ -101,13 +101,20 @@ def main():
     import time
 
     # N vs 4N executors on local-cluster (separate executor JVMs); settle
-    # between runs so one cluster's daemons fully exit before the next
-    lo = run_at(0, params, n_executors=2)
+    # between runs so one cluster's daemons fully exit before the next.
+    # Default pair 1 vs 4 executors (4 vs 16 task slots): with one Python
+    # worker per slot beside the JVM threads, this is the largest pair
+    # whose high end does NOT oversubscribe the 32 physical cores —
+    # the honest in-sandbox N→4N measurement. COBWEB_SCALING_PAIR=2,8
+    # selects the oversubscribed wide pair for comparison.
+    pair = os.environ.get("COBWEB_SCALING_PAIR", "1,4")
+    n_lo, n_hi = (int(x) for x in pair.split(","))
+    lo = run_at(0, params, n_executors=n_lo)
     time.sleep(15)
-    hi = run_at(0, params, n_executors=8)
-    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    hi = run_at(0, params, n_executors=n_hi)
+    eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo)
     result = {
-        "metric": "scaling_efficiency_2_to_8_executors",
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}_executors",
         "mode": "local-cluster[N,4,mem] — separate executor JVMs",
         "low": lo,
         "high": hi,
