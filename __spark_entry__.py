@@ -521,7 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), threshold=0.2
     )
     q["ann_cosine_topk"] = lambda spark, sf: similarity.cosine_topk(
-        _emb(spark, sf), query_ids=[0, 1, 2, 3, 4], k=5
+        _emb(spark, sf), query_ids=list(range(16)), k=5
     )
     q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_ann_topk(
         _emb(spark, sf), query_ids=[0, 1, 2, 3, 4], k=5
@@ -951,10 +951,11 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2"""
 
-    sql["ann_cosine_topk"] = """
+    cosine_ids = ", ".join(str(i) for i in range(16))
+    sql["ann_cosine_topk"] = f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            FROM embeddings WHERE vec_id IN ({cosine_ids})
         ), scored AS (
             SELECT q.query_id, e.vec_id AS neighbor_id,
                    round(list_dot_product(q.q_emb, e.embedding::DOUBLE[]) /

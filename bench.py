@@ -51,9 +51,11 @@ def main() -> dict:
     docs = load_documents(spark, corpus_path)
 
     # --- headline: full crawl, URLs fetched+deduped/sec ---
-    # the bloom/cuckoo seen-prefilter (north rule) is ON by default
-    # (CrawlConfig.use_seen_prefilter); COBWEB_BENCH_PREFILTER=0 disables,
-    # =both also measures the anti-join-only path for comparison
+    # the bloom/cuckoo seen-prefilter bank (north rule) is maintained every
+    # wave; its probe tier engages adaptively once |seen| ≥
+    # prefilter_min_seen (CrawlConfig). COBWEB_BENCH_PREFILTER: "1"
+    # (default, adaptive) | "0" (bank off entirely) | "force" (probe every
+    # wave) | "both" (adaptive headline + forced + bank-off secondaries)
     budget = os.environ.get("COBWEB_BENCH_BUDGET")
     prefilter_mode = os.environ.get("COBWEB_BENCH_PREFILTER", "1")
     cfg = CrawlConfig(
@@ -63,6 +65,7 @@ def main() -> dict:
         store_inbound_links=False,
         precompute_edges=True,
         use_seen_prefilter=prefilter_mode != "0",
+        prefilter_min_seen=0 if prefilter_mode == "force" else 1_000_000,
     )
     t0 = time.time()
     res = SparkCrawler(spark, docs, cfg).crawl(None)
@@ -74,10 +77,14 @@ def main() -> dict:
 
     if prefilter_mode == "both":
         t0 = time.time()
-        res2 = SparkCrawler(
+        SparkCrawler(
+            spark, docs, cfg.with_(prefilter_min_seen=0)
+        ).crawl(None).pages.count()
+        timings["crawl_scale_forced_prefilter"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        SparkCrawler(
             spark, docs, cfg.with_(use_seen_prefilter=False)
-        ).crawl(None)
-        res2.pages.count()
+        ).crawl(None).pages.count()
         timings["crawl_scale_noprefilter"] = round(time.time() - t0, 3)
 
     # --- extraction-only throughput (links extracted/sec) ---

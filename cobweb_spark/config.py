@@ -74,6 +74,13 @@ class CrawlConfig:
     bloom_capacity_per_shard: int = 1 << 17
     bloom_fpp: float = 0.01
     use_seen_prefilter: bool = True
+    # the bloom probe tier engages once the seen set reaches this size;
+    # below it the exact anti-join's build side is small enough that the
+    # probe's extra pass costs more than the join it bypasses (measured:
+    # at |seen| ≈ |wave| ≈ 1M the probe+split roughly doubles expand
+    # time; the tier's win is the |seen| ≫ |wave| regime). The bank is
+    # MAINTAINED from wave 0 regardless, so engagement is seamless.
+    prefilter_min_seen: int = 1_000_000
     # persist narrow (meta, spans) projections of the corpus for the
     # per-wave joins; disable when the corpus doesn't fit executor storage
     cache_corpus: bool = True

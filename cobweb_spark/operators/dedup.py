@@ -24,12 +24,19 @@ def reject_seen(
     candidates: DataFrame,
     seen: DataFrame,
     prefilter=None,
+    materialize: bool = True,
 ) -> DataFrame:
     """candidates minus seen (on the queued-form URL string).
 
     ``prefilter`` is an optional SeenFilterBank (bloom+cuckoo tier): when
-    given, candidates are split into definite-misses (pass through, no
-    join) and probable-hits (exact anti-join).
+    given, candidates are split into definite-misses (pass through —
+    they never scan, shuffle against or join the seen table, THE saving
+    at a 10^10-row seen set) and probable-hits (exact anti-join, the
+    correctness backstop).
+
+    The flagged stream is materialized before the split (``materialize``):
+    both branches read one checkpointed pass instead of re-executing the
+    whole extract→classify→dedup→probe pipeline per branch.
     """
     if prefilter is None:
         return candidates.join(
@@ -37,6 +44,8 @@ def reject_seen(
         )
 
     flagged = prefilter.mark_probable(candidates, key_col="link")
+    if materialize:
+        flagged = flagged.localCheckpoint()
     misses = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     probable = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     survivors = probable.join(

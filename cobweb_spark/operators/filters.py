@@ -36,6 +36,22 @@ FILTERS_SCHEMA = T.StructType(
     ]
 )
 
+# worker-process cache of deserialized shard filters, keyed by bank
+# generation — avoids re-parsing the broadcast blobs per Arrow batch
+_PROBE_CACHE: dict = {}
+
+
+def _load_bank(token, states, cap: int, fpp: float) -> dict:
+    hit = _PROBE_CACHE.get("bank")
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    filters = {
+        s: ShardFilter.from_state(b, n, c, cap, fpp)
+        for (s, b, n, c) in states
+    }
+    _PROBE_CACHE["bank"] = (token, filters)
+    return filters
+
 
 class SeenFilterBank:
     """Filter state lives in a real (scratch parquet) table, re-written
@@ -72,6 +88,13 @@ class SeenFilterBank:
         self._scratch = scratch_dir
         self._gen = 0
         self.filters = spark.createDataFrame([], FILTERS_SCHEMA)
+        # banks under this size probe via a broadcast + key-only pandas
+        # UDF (no shuffle, no full-row Python round trip); above it, the
+        # partitioned cogroup tier takes over (a 10^10-URL bank is ~GBs —
+        # it must stay sharded and co-partitioned with the candidates)
+        self.broadcast_max_bytes = 64 << 20
+        self._bc = None
+        self._bc_gen = -1
 
     def _publish(self, df) -> None:
         """Materialize the merged bank to a fresh scratch generation and
@@ -109,6 +132,12 @@ class SeenFilterBank:
             self.capacity,
             self.fpp,
         )
+
+    def close(self) -> None:
+        """Delete the scratch generations (driver-side cleanup)."""
+        import shutil
+
+        shutil.rmtree(self._scratch, ignore_errors=True)
 
     # -- maintenance -------------------------------------------------------
     def add(self, urls: DataFrame, key_col: str = "url") -> None:
@@ -158,8 +187,61 @@ class SeenFilterBank:
         )
 
     # -- probing -----------------------------------------------------------
+    def _estimated_bytes(self) -> int:
+        import math
+
+        m = int(-self.capacity * math.log(self.fpp) / (math.log(2) ** 2))
+        m = max(64, (m + 63) // 64 * 64)
+        cuckoo = max(1 << 8, self.capacity // 64) * 4 * 2
+        return self.n_shards * (m // 8 + cuckoo)
+
+    def _broadcast_states(self):
+        """Driver-side broadcast of the bank blobs (small-bank tier)."""
+        if self._bc_gen != self._gen:
+            states = [
+                (r["shard"], bytes(r["bloom"]), int(r["n_keys"]), bytes(r["cuckoo"]))
+                for r in self.filters.collect()
+            ]
+            if self._bc is not None:
+                try:
+                    self._bc.unpersist()
+                except Exception:
+                    pass
+            self._bc = self.spark.sparkContext.broadcast(states)
+            self._bc_gen = self._gen
+        return self._bc
+
     def mark_probable(self, df: DataFrame, key_col: str) -> DataFrame:
-        """Append ``__maybe_seen`` boolean: False ⇒ definitely unseen."""
+        """Append ``__maybe_seen`` boolean: False ⇒ definitely unseen.
+
+        Small banks broadcast and probe with a key-only Arrow UDF (no
+        shuffle); big banks co-partition candidates with their shards via
+        cogroup.
+        """
+        if self._estimated_bytes() <= self.broadcast_max_bytes:
+            from pyspark.sql.functions import pandas_udf
+
+            bank = self._broadcast_states()
+            token = (self._scratch, self._gen)
+            cap, fpp, n_shards = self.capacity, self.fpp, self.n_shards
+
+            @pandas_udf(T.BooleanType())
+            def probe_keys(keys: pd.Series) -> pd.Series:
+                filters = _load_bank(token, bank.value, cap, fpp)
+                k = keys.to_numpy(dtype=np.int64)
+                shard = k % n_shards  # == pmod for positive n
+                out = np.zeros(len(k), dtype=bool)
+                for s in np.unique(shard):
+                    sf = filters.get(int(s))
+                    if sf is None:
+                        continue
+                    m = shard == s
+                    out[m] = sf.contains(k[m])
+                return pd.Series(out)
+
+            return df.withColumn(
+                "__maybe_seen", probe_keys(F.xxhash64(F.col(key_col)))
+            )
         keyed = self._keyed(df, key_col)
         out_schema = T.StructType(
             keyed.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]

@@ -236,6 +236,7 @@ class SparkCrawler:
             n_fetched = man["counters"]["n_fetched"]
             next_order = man["counters"]["next_order"]
             pages_counted = man["counters"]["pages_counted"]
+            waves_done = latest + 1
             extra_internal = man["counters"].get("extra_internal", [])
             if extra_internal:
                 classifier = cfg.classifier(base_url, extra_internal)
@@ -259,6 +260,7 @@ class SparkCrawler:
             next_order = frontier.count()
             pages_counted = 0
             wave = 0
+            waves_done = 0
             if self.prefilter is not None:
                 self.prefilter.add(frontier.select("url"))
         empty_frontier = frontier.limit(0)
@@ -448,6 +450,7 @@ class SparkCrawler:
                 candidates = candidates.localCheckpoint()
                 cand_parts.append(candidates)
 
+            _t_sel = _time.time()
             selected = select_internal(candidates, classifier, cfg)
             selected = robots_gate(
                 selected, self.robots, cfg, compiled=self._robots_compiled
@@ -456,13 +459,29 @@ class SparkCrawler:
             # duplicate-heavy candidate stream to unique links, so the
             # anti-join (and everything after) touches ~|new links| rows
             fresh = first_discovery_wins(selected)
-            fresh = reject_seen(fresh, seen, self.prefilter)
-            # materialize BEFORE ordering: repartitionByRange's sampling
-            # job would otherwise recompute the whole extract→dedup
-            # pipeline a second time each wave. Eager: bounded executor
-            # memory beats saving a job (lazy variants stacked python
-            # stages into one oversized job and OOM'd small executors).
-            fresh = fresh.localCheckpoint()
+            # bloom tier engages once seen is big enough to out-cost the
+            # probe (config.prefilter_min_seen); the bank itself is kept
+            # current every wave either way, so engagement is seamless.
+            # next_order counts every URL ever enqueued == |seen| modulo
+            # redirect finals.
+            engaged = (
+                self.prefilter is not None
+                and next_order >= cfg.prefilter_min_seen
+            )
+            fresh = reject_seen(
+                fresh, seen, self.prefilter if engaged else None
+            )
+            # materialize BEFORE ordering: the ordering shuffle would
+            # otherwise recompute the whole extract→dedup pipeline a
+            # second time each wave. When the bloom tier is engaged,
+            # reject_seen already checkpointed the flagged stream (its
+            # split needs it) — the residual filter/anti-join/union tail
+            # is cheap to rescan. Eager: bounded executor memory beats
+            # saving a job (lazy variants stacked python stages into one
+            # oversized job and OOM'd small executors).
+            if not engaged:
+                fresh = fresh.localCheckpoint()
+            _t_flag = _time.time()
             if cfg.host_budget is None:
                 # plain BFS: parent_fetch_order spans exactly
                 # [n_fetched - n_cut, n_fetched) — an exact equi-width
@@ -510,6 +529,7 @@ class SparkCrawler:
             ).localCheckpoint(eager=self.prefilter is None)
             next_order += n_new
 
+            _t_zip = _time.time()
             edges_wave = fresh.select(
                 F.col("parent").alias("src"),
                 F.col("link").alias("dst"),
@@ -530,8 +550,15 @@ class SparkCrawler:
                     "n_fetched": n_fetched,
                     "t_fetch": round(_t_fetch - _t0, 2),
                     "t_expand": round(_time.time() - _t_fetch, 2),
+                    # expand-phase breakdown: flag = extract→classify→
+                    # dedup→probe checkpoint; zip = order assignment;
+                    # add = frontier checkpoint + filter-bank merge
+                    "t_flag": round(_t_flag - _t_sel, 2),
+                    "t_zip": round(_t_zip - _t_flag, 2),
+                    "t_add": round(_time.time() - _t_zip, 2),
                 }
             )
+            waves_done = wave + 1  # waves that actually fetched pages
             if on_wave is not None:
                 on_wave(cut, metrics[-1])
 
@@ -619,7 +646,7 @@ class SparkCrawler:
             frontier_remaining=frontier,
             edges=edges,
             candidates=candidates,
-            n_waves=wave + (1 if pages_parts else 0),
+            n_waves=waves_done,
             metrics=metrics,
         )
         # finished sink: final statistics exactly once per completed crawl

@@ -48,18 +48,33 @@ class TestFirstPageRedirectInternal:
 
     def test_prefilter_parity_with_redirect_final(self, spark):
         """ADVICE regression: redirect-final URLs must enter the bloom
-        bank too — with the prefilter ON (default), a corpus whose 301
-        target is also linked directly must not double-fetch it."""
+        bank too — with the probe tier FORCED on (min_seen=0), a corpus
+        whose 301 target is also linked directly must not double-fetch
+        it (a bank miss would read as definitely-new)."""
         corpus = fx.build_seed_redirect_corpus()
         docs = corpus_df(spark, corpus)
-        crawler = SparkCrawler(spark, docs, CrawlConfig())
+        cfg = CrawlConfig(prefilter_min_seen=0)
+        crawler = SparkCrawler(spark, docs, cfg)
         assert crawler.prefilter is not None  # built from config default
         res = crawler.crawl(fx.SEED_REDIRECT_BASE)
-        oracle = CrawlOracle(corpus, CrawlConfig()).crawl(
-            fx.SEED_REDIRECT_BASE
-        )
+        oracle = CrawlOracle(corpus, cfg).crawl(fx.SEED_REDIRECT_BASE)
         assert res.fetch_sequence() == oracle.fetch_sequence
         assert res.pages.count() == len(oracle.pages)
+
+    def test_prefilter_engaged_full_sample_site(
+        self, spark, sample_site_corpus
+    ):
+        """Whole sample-site crawl with the probe tier forced on every
+        wave: exact order + seen-set parity (bloom false positives only
+        re-route through the anti-join, misses are genuinely new)."""
+        docs = corpus_df(spark, sample_site_corpus)
+        cfg = CrawlConfig(prefilter_min_seen=0)
+        res = SparkCrawler(spark, docs, cfg).crawl(fx.SAMPLE_SITE_BASE)
+        oracle = CrawlOracle(sample_site_corpus, cfg).crawl(
+            fx.SAMPLE_SITE_BASE
+        )
+        assert res.fetch_sequence() == oracle.fetch_sequence
+        assert {r["url"] for r in res.seen.collect()} == oracle.seen
 
 
 class TestTagExtensionPoints:
@@ -315,6 +330,35 @@ class TestCheckpointEveryResume:
             for r in resumed.pages.orderBy("fetch_order").collect()
         ]
         assert orders == list(range(len(want)))
+
+
+class TestProbeTiers:
+    def test_broadcast_and_cogroup_probes_agree(self, spark):
+        """The small-bank broadcast probe and the big-bank cogroup probe
+        must mark identical __maybe_seen flags."""
+        from cobweb_spark.operators.filters import SeenFilterBank
+
+        urls = [f"http://h{i % 7}.example.com/p{i}" for i in range(500)]
+        seen = spark.createDataFrame([(u,) for u in urls[:250]], "url string")
+        cands = spark.createDataFrame(
+            [(u,) for u in urls[100:400]], "link string"
+        )
+        bank = SeenFilterBank(spark, n_shards=8, capacity_per_shard=1 << 10)
+        bank.add(seen)
+        assert bank._estimated_bytes() <= bank.broadcast_max_bytes
+        fast = {
+            r["link"]: r["__maybe_seen"]
+            for r in bank.mark_probable(cands, "link").collect()
+        }
+        bank.broadcast_max_bytes = 0  # force the cogroup tier
+        slow = {
+            r["link"]: r["__maybe_seen"]
+            for r in bank.mark_probable(cands, "link").collect()
+        }
+        assert fast == slow
+        # every actually-seen candidate must be flagged (no false negatives)
+        for u in urls[100:250]:
+            assert fast[u] is True
 
 
 class TestSpanScopeDsl:
