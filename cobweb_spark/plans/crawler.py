@@ -241,18 +241,20 @@ class SparkCrawler:
             if extra_internal:
                 classifier = cfg.classifier(base_url, extra_internal)
             wave = latest + 1
-            if self.prefilter is not None:
-                if man.get("has_filters"):
-                    import os
+            # bank_lagging: filter maintenance is LAZY — skipped entirely
+            # until the probe tier first engages, then bulk-synced from
+            # `seen` (bloom re-adds are idempotent). Costs nothing on
+            # crawls that never reach prefilter_min_seen.
+            bank_lagging = True
+            if self.prefilter is not None and man.get("has_filters") and (
+                man["counters"].get("bank_synced", True)
+            ):
+                import os
 
-                    self.prefilter.load(
-                        os.path.join(self.store._wave_dir(latest), "filters")
-                    )
-                else:
-                    # snapshot predates the prefilter (or was committed
-                    # with it off): rebuild from the seen set — an empty
-                    # bank would mislabel seen URLs "definitely new"
-                    self.prefilter.add(seen)
+                self.prefilter.load(
+                    os.path.join(self.store._wave_dir(latest), "filters")
+                )
+                bank_lagging = False
         else:
             frontier = self._seed_frontier(base_url).localCheckpoint()
             seen = frontier.select("url").localCheckpoint()
@@ -261,8 +263,7 @@ class SparkCrawler:
             pages_counted = 0
             wave = 0
             waves_done = 0
-            if self.prefilter is not None:
-                self.prefilter.add(frontier.select("url"))
+            bank_lagging = True
         empty_frontier = frontier.limit(0)
         # n_frontier tracks |frontier| so the loop head needs no isEmpty job
         n_frontier = frontier.count() if latest is not None else next_order
@@ -408,11 +409,13 @@ class SparkCrawler:
                     F.col("fetch_url") != F.col("url")
                 ).select(F.col("fetch_url").alias("url"))
                 seen = seen.unionByName(finals)
-                if self.prefilter is not None:
-                    # the prefilter must cover EVERYTHING in `seen` before
-                    # this wave's reject_seen: a final URL missing from the
+                if self.prefilter is not None and not bank_lagging:
+                    # the bank must cover EVERYTHING in `seen` before this
+                    # wave's reject_seen: a final URL missing from the
                     # bloom would read as definitely-new and be re-fetched
-                    # when linked directly later
+                    # when linked directly later. (While lagging, the
+                    # bulk sync below reads `seen`, which already has the
+                    # finals unioned in.)
                     self.prefilter.add(finals)
 
             # extraction input: permitted pages joined with their spans
@@ -468,6 +471,13 @@ class SparkCrawler:
                 self.prefilter is not None
                 and next_order >= cfg.prefilter_min_seen
             )
+            if engaged and bank_lagging:
+                # first engagement: bulk-sync the bank from the full seen
+                # set (one cogroup pass ≈ one anti-join's worth of work,
+                # paid once) — cheaper than per-wave maintenance on every
+                # crawl that never engages
+                self.prefilter.add(seen)
+                bank_lagging = False
             fresh = reject_seen(
                 fresh, seen, self.prefilter if engaged else None
             )
@@ -516,17 +526,20 @@ class SparkCrawler:
                     size_hint=n_cut * 16,
                 )
 
-            # with a prefilter, the add() right below is this wave's next
-            # action and materializes the lazy checkpoint (one fused job);
-            # without one, stay eager — a lazy checkpoint would stack this
-            # wave's python stages into the next wave's first job
+            # with an actively-maintained bank, the add() right below is
+            # this wave's next action and materializes the lazy checkpoint
+            # (one fused job); otherwise stay eager — a lazy checkpoint
+            # would stack this wave's python stages into the next wave's
+            # first job
             new_frontier = fresh.select(
                 F.col("link").alias("url"),
                 host_udf("link").alias("host"),
                 (F.col("parent_depth") + 1).alias("depth"),
                 "discovery_order",
                 F.col("parent").alias("parent"),
-            ).localCheckpoint(eager=self.prefilter is None)
+            ).localCheckpoint(
+                eager=self.prefilter is None or bank_lagging
+            )
             next_order += n_new
 
             _t_zip = _time.time()
@@ -538,7 +551,7 @@ class SparkCrawler:
             # new_frontier is checkpointed; the union tree over checkpointed
             # parts is cheap to rescan — no per-wave seen re-materialization
             seen = seen.unionByName(new_frontier.select("url"))
-            if self.prefilter is not None:
+            if self.prefilter is not None and not bank_lagging:
                 self.prefilter.add(new_frontier.select("url"))
 
             metrics.append(
@@ -586,6 +599,7 @@ class SparkCrawler:
                             "next_order": next_order,
                             "pages_counted": pages_counted,
                             "extra_internal": extra_internal,
+                            "bank_synced": not bank_lagging,
                         },
                         metrics=metrics[-1],
                         filters_bank=self.prefilter,
