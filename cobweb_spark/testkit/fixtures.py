@@ -425,6 +425,7 @@ def build_scale_corpus_arrays(
     media_ratio: float = 0.3,
     cross_host_prob: float = 0.08,
     seed: int = 42,
+    n_seeds: int | None = None,
 ):
     """Generate the scale corpus as columnar arrays (pyarrow Table).
 
@@ -559,7 +560,17 @@ def build_scale_corpus_arrays(
     else:
         tbl = pages_tbl
 
-    seeds = [f"http://{hosts[h]}/p0.html" for h in range(min(n_hosts, 8))]
+    # seed list: round-robin page ranks across hosts. A production
+    # 10^10-URL crawl starts from a massive seed list, not 8 URLs — the
+    # BFS ramp-up waves are a workload parameter, not engine behavior.
+    if n_seeds is None:
+        n_seeds = min(n_hosts, 8)
+    seeds = [
+        f"http://{hosts[h]}/p{i}.html"
+        for i in range(-(-n_seeds // n_hosts))
+        for h in range(n_hosts)
+        if i * n_hosts + h < n_seeds and i < int(host_sizes[h])
+    ]
     return tbl, seeds
 
 

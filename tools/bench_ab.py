@@ -23,7 +23,7 @@ spark = get_spark(app_name="ab")
 corpus_path, seeds = cached_scale_corpus(**%(params)s)
 docs = load_documents(spark, corpus_path)
 cfg = CrawlConfig(internal_urls=["http://*"], seed_urls=seeds,
-                  store_inbound_links=False, precompute_edges=True,
+                  store_inbound_links=False, precompute_edges=False,
                   **%(cfg)s)
 t0 = time.time()
 res = SparkCrawler(spark, docs, cfg).crawl(None)
@@ -58,6 +58,7 @@ def main():
         media_ratio=0.15,
         cross_host_prob=0.10,
         seed=42,
+        n_seeds=int(os.environ.get("COBWEB_BENCH_SEEDS", "1000")),
     )
     configs = {
         "off": dict(use_seen_prefilter=False),
