@@ -20,14 +20,17 @@ from ..urls import canonicalize, host_of
 # identity on these (the overwhelming case in web corpora — discovered
 # links are absolutized from canonical page URLs), so only the residue
 # pays per-element Python.
-_CANONICAL_RE = r"^https?://[a-z0-9.\-]+/[^#%?\s]*(\?[^#%\s]*)?$"
+# fullmatch (not match+$: '$' matches before a trailing newline) and a
+# REQUIRED non-empty query after '?' — canonicalize() strips a bare '?'
+# ('http://h/p?' → 'http://h/p'), so such URLs must take the slow path.
+_CANONICAL_RE = r"https?://[a-z0-9.\-]+/[^#%?\s]*(\?[^#%\s]+)?"
 
 
 @pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     s = urls.astype("string")
     fast = (
-        s.str.match(_CANONICAL_RE)
+        s.str.fullmatch(_CANONICAL_RE)
         & ~s.str.contains("/./", regex=False)
         & ~s.str.contains("/../", regex=False)
         & ~s.str.endswith("/.")

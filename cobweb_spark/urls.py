@@ -26,19 +26,43 @@ _DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
 _UNRESERVED = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
-_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+_HEX = set("0123456789abcdefABCDEF")
 
 
 def _normalize_pct(component: str) -> str:
-    """Normalize percent-encoding: decode unreserved chars, uppercase hex."""
+    """Normalize percent-encoding in a single idempotent scan.
 
-    def repl(m: re.Match) -> str:
-        ch = chr(int(m.group(1), 16))
-        if ch in _UNRESERVED:
-            return ch
-        return "%" + m.group(1).upper()
-
-    return _PCT_RE.sub(repl, component)
+    Mirrors Addressable ``normalize!`` (reference ``lib/cobweb.rb:124-127``):
+    valid ``%XX`` escapes decode iff the octet is unreserved, else the hex is
+    uppercased; a ``%`` NOT followed by two hex digits is itself escaped to
+    ``%25`` in the same pass.  That last rule is what makes the function
+    idempotent — decoding can never mint a new escape out of a stray ``%``
+    (e.g. ``%%333`` → ``%2533``, which is a fixed point), because every ``%``
+    in the output is the head of a valid escape whose octet is not
+    unreserved (so a second pass only re-uppercases, a no-op).
+    """
+    if "%" not in component:
+        return component
+    out: list[str] = []
+    i, n = 0, len(component)
+    while i < n:
+        ch = component[i]
+        if ch != "%":
+            out.append(ch)
+            i += 1
+            continue
+        hex2 = component[i + 1 : i + 3]
+        if len(hex2) == 2 and hex2[0] in _HEX and hex2[1] in _HEX:
+            octet = chr(int(hex2, 16))
+            if octet in _UNRESERVED:
+                out.append(octet)
+            else:
+                out.append("%" + hex2.upper())
+            i += 3
+        else:
+            out.append("%25")
+            i += 1
+    return "".join(out)
 
 
 def _remove_dot_segments(path: str) -> str:

@@ -410,6 +410,13 @@ class TestUrlFastPaths:
         "http://user:pw@host.example.com/a.html",
         "https://host.example.com/s.html",
         "http://h:99999/bad",
+        # ADVICE round-3 regressions: bare '?' (canonicalize strips it),
+        # trailing newline ('$' would match before it; fullmatch must not),
+        # and stray-% URLs (escaped to %25 by the idempotent normalizer)
+        "http://host.example.com/p?",
+        "http://host.example.com/p.html\n",
+        "http://host.example.com/%%333",
+        "http://host.example.com/x%3",
     ]
 
     def test_canonicalize_udf_matches_scalar(self, spark):

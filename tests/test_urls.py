@@ -55,6 +55,19 @@ class TestCanonicalize:
             == "http://a.com/p?q=1&r=2"
         )
 
+    def test_stray_percent_escaped_idempotently(self):
+        # round-2 hypothesis counterexample: '%%333' decoded the inner %33
+        # on pass 1, minting a NEW escape ('%33') that pass 2 decoded again.
+        # Fixed: bare '%' → '%25' in the same single scan.
+        once = canonicalize("http://example.com/%%333")
+        assert once == "http://example.com/%2533"
+        assert canonicalize(once) == once
+        # truncated escape at end-of-string
+        assert canonicalize("http://a.com/x%3") == "http://a.com/x%253"
+        assert canonicalize("http://a.com/x%") == "http://a.com/x%25"
+        # valid escapes still decode (unreserved) / uppercase (reserved)
+        assert canonicalize("http://a.com/%41%2f%") == "http://a.com/A%2F%25"
+
 
 class TestJoin:
     def test_relative(self):
