@@ -524,7 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), query_ids=list(range(16)), k=5
     )
     q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_ann_topk(
-        _emb(spark, sf), query_ids=[0, 1, 2, 3, 4], k=5
+        _emb(spark, sf), query_ids=[0, 1, 2, 3, 4], k=5, dim=64
     )
 
     # --- events: per-minute time-series stats (lib/stats.rb:211-228) ---
@@ -538,6 +538,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
+    )
+
+    # minute-stats retention eviction (lib/stats.rb:221-227: keys older
+    # than `duration` minutes before now deleted; now = series head here)
+    def _minute_retention(spark, sf):
+        from cobweb_spark.operators.stats import minute_retention
+
+        series = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return minute_retention(series, retention_minutes=60)
+
+    q["stats_minute_retention"] = _minute_retention
+
+    # df-capped exact Jaccard: the 100 TB-safe guarded variant (tokens
+    # with document frequency > max_df dropped before the self-join)
+    q["dedup_jaccard_guarded"] = lambda spark, sf: textops.jaccard_pairs(
+        _docs(spark, sf), threshold=0.2, max_df=50
     )
 
     # --- top-k priority (crawl_limit analogue, TakeOrderedAndProject) ---
@@ -1022,6 +1042,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('minute', ts) AS minute, event_type,
                count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
         FROM events GROUP BY 1, 2"""
+
+    sql["stats_minute_retention"] = """
+        WITH series AS (
+            SELECT date_trunc('minute', ts) AS minute,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        )
+        SELECT minute, n FROM series
+        WHERE minute >= (SELECT max(minute) FROM series)
+                        - INTERVAL 60 MINUTES"""
+
+    sql["dedup_jaccard_guarded"] = f"""
+        WITH toks0 AS ({TOKTABLE}),
+        keep AS (SELECT token FROM toks0 GROUP BY token
+                 HAVING count(*) <= 50),
+        toks AS (SELECT t.doc_id, t.token FROM toks0 t
+                 JOIN keep k ON t.token = k.token),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks
+                  GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS inter
+            FROM toks a JOIN toks b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2"""
 
     sql["topk_priority"] = """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate

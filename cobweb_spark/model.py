@@ -130,12 +130,12 @@ ROBOTS_SCHEMA = T.StructType(
     ]
 )
 
+# Enqueue edges as the crawler emits them (plans/crawler.py): src is the
+# parent's queued URL, dst the enqueued link (queued form). The inbound
+# index and navigation children derive from exactly these two columns.
 EDGES_SCHEMA = T.StructType(
     [
         T.StructField("src", T.StringType(), False),
         T.StructField("dst", T.StringType(), False),
-        T.StructField("dst_normalized", T.StringType()),
-        T.StructField("wave_id", T.IntegerType()),
-        T.StructField("enqueued", T.BooleanType()),
     ]
 )

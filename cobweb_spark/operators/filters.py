@@ -37,17 +37,30 @@ FILTERS_SCHEMA = T.StructType(
 )
 
 # worker-process cache of deserialized shard filters, keyed by bank
-# generation — avoids re-parsing the broadcast blobs per Arrow batch
+# generation — avoids re-reading the bank per Arrow batch
 _PROBE_CACHE: dict = {}
 
 
-def _load_bank(token, states, cap: int, fpp: float) -> dict:
+def _load_bank_path(token, path: str, cap: int, fpp: float) -> dict:
+    """Executor-side bank load: each Python worker reads the published
+    generation's parquet ONCE (then serves every batch from memory). No
+    driver collect, no broadcast rebuild per wave — the production shape,
+    where the bank is the Iceberg ``filters`` table on shared storage and
+    executors read it like any other table."""
     hit = _PROBE_CACHE.get("bank")
     if hit is not None and hit[0] == token:
         return hit[1]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["shard", "bloom", "n_keys", "cuckoo"])
     filters = {
-        s: ShardFilter.from_state(b, n, c, cap, fpp)
-        for (s, b, n, c) in states
+        int(s): ShardFilter.from_state(b, int(n), c, cap, fpp)
+        for s, b, n, c in zip(
+            t["shard"].to_pylist(),
+            t["bloom"].to_pylist(),
+            t["n_keys"].to_pylist(),
+            t["cuckoo"].to_pylist(),
+        )
     }
     _PROBE_CACHE["bank"] = (token, filters)
     return filters
@@ -93,8 +106,6 @@ class SeenFilterBank:
         # partitioned cogroup tier takes over (a 10^10-URL bank is ~GBs —
         # it must stay sharded and co-partitioned with the candidates)
         self.broadcast_max_bytes = 64 << 20
-        self._bc = None
-        self._bc_gen = -1
 
     def _publish(self, df) -> None:
         """Materialize the merged bank to a fresh scratch generation and
@@ -106,8 +117,10 @@ class SeenFilterBank:
         path = os.path.join(self._scratch, f"gen={self._gen:06d}")
         df.write.mode("overwrite").parquet(path)
         self.filters = self.spark.read.schema(FILTERS_SCHEMA).parquet(path)
-        old = os.path.join(self._scratch, f"gen={self._gen - 1:06d}")
-        if self._gen > 1 and os.path.isdir(old):
+        # keep TWO generations: a probe UDF constructed against gen-1 may
+        # still be (re-)executed after this publish (straggler task retry)
+        old = os.path.join(self._scratch, f"gen={self._gen - 2:06d}")
+        if self._gen > 2 and os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 
     # -- helpers -----------------------------------------------------------
@@ -195,39 +208,31 @@ class SeenFilterBank:
         cuckoo = max(1 << 8, self.capacity // 64) * 4 * 2
         return self.n_shards * (m // 8 + cuckoo)
 
-    def _broadcast_states(self):
-        """Driver-side broadcast of the bank blobs (small-bank tier)."""
-        if self._bc_gen != self._gen:
-            states = [
-                (r["shard"], bytes(r["bloom"]), int(r["n_keys"]), bytes(r["cuckoo"]))
-                for r in self.filters.collect()
-            ]
-            if self._bc is not None:
-                try:
-                    self._bc.unpersist()
-                except Exception:
-                    pass
-            self._bc = self.spark.sparkContext.broadcast(states)
-            self._bc_gen = self._gen
-        return self._bc
-
     def mark_probable(self, df: DataFrame, key_col: str) -> DataFrame:
         """Append ``__maybe_seen`` boolean: False ⇒ definitely unseen.
 
-        Small banks broadcast and probe with a key-only Arrow UDF (no
-        shuffle); big banks co-partition candidates with their shards via
-        cogroup.
+        Small banks probe with a key-only Arrow UDF whose workers read the
+        published bank generation directly (no shuffle, no driver collect,
+        no per-wave broadcast rebuild — the scratch path is shared storage:
+        /dev/shm in local mode, the Iceberg ``filters`` table location on a
+        cluster); big banks co-partition candidates with their shards via
+        cogroup so no worker ever holds the whole bank.
         """
+        if self._gen == 0:
+            # nothing ever added: every key is definitely unseen
+            return df.withColumn("__maybe_seen", F.lit(False))
         if self._estimated_bytes() <= self.broadcast_max_bytes:
             from pyspark.sql.functions import pandas_udf
 
-            bank = self._broadcast_states()
+            import os as _os
+
+            path = _os.path.join(self._scratch, f"gen={self._gen:06d}")
             token = (self._scratch, self._gen)
             cap, fpp, n_shards = self.capacity, self.fpp, self.n_shards
 
             @pandas_udf(T.BooleanType())
             def probe_keys(keys: pd.Series) -> pd.Series:
-                filters = _load_bank(token, bank.value, cap, fpp)
+                filters = _load_bank_path(token, path, cap, fpp)
                 k = keys.to_numpy(dtype=np.int64)
                 shard = k % n_shards  # == pmod for positive n
                 out = np.zeros(len(k), dtype=bool)

@@ -88,26 +88,47 @@ def media_refs(documents: DataFrame) -> DataFrame:
     )
 
 
+# blob stores under this many rows broadcast to the payload join; above
+# it (any real crawl's media table — binary payloads would OOM the driver
+# long before the row count matters) the plain shuffled equi-join runs,
+# the stand-in for the bucketed blob-table join at 100 TB.
+MEDIA_STORE_BROADCAST_MAX_ROWS = 10_000
+
+
 def media_payloads(
-    documents: DataFrame, media_store: DataFrame | None = None
+    documents: DataFrame,
+    media_store: DataFrame | None = None,
+    broadcast_store: bool | None = None,
 ) -> DataFrame:
     """Materialize (doc_id, media_ref, payload, media_kind) rows.
 
     With ``media_store`` (the blob table: media_ref → payload binary — a
     real crawl stores fetched bodies there), payloads come from an
-    equi-join on media_ref; the store is the small dimension side at test
-    scale (broadcast), a bucketed join at 100 TB. Without a store, payloads
-    fall back to deterministic synthetic bytes (plumbing-only mode).
+    equi-join on media_ref. ``broadcast_store``: True/False forces the
+    join strategy; None counts the store's keys once (payload column
+    pruned from the count scan) and broadcasts only genuinely small
+    stores — a blob table with binary payloads must never be broadcast.
+    Without a store, payloads fall back to deterministic synthetic bytes
+    (plumbing-only mode).
     """
     refs = media_refs(documents)
     if media_store is not None:
+        if broadcast_store is None:
+            broadcast_store = (
+                media_store.select("media_ref")
+                .limit(MEDIA_STORE_BROADCAST_MAX_ROWS + 1)
+                .count()
+                <= MEDIA_STORE_BROADCAST_MAX_ROWS
+            )
         store = media_store.select(
             "media_ref",
             "payload",
             F.col("media_kind").alias("__store_kind"),
         )
+        if broadcast_store:
+            store = F.broadcast(store)
         return (
-            refs.join(F.broadcast(store), "media_ref", "left")
+            refs.join(store, "media_ref", "left")
             .select(
                 "doc_id",
                 "media_ref",

@@ -91,7 +91,12 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int | None = None) -> DataFrame:
-    """Add a sign-LSH bucket id: bit_p = dot(v, plane_p) >= 0."""
+    """Add a sign-LSH bucket id: bit_p = dot(v, plane_p) >= 0.
+
+    Pass ``dim`` explicitly in plan-construction paths: the ``first()``
+    fallback is a driver action (a Spark job inside operator construction)
+    and exists only for interactive convenience.
+    """
     if dim is None:
         dim = len(embeddings.select("embedding").first()[0])
     planes = _hyperplanes(dim, n_planes)
@@ -109,6 +114,7 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 8,
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the LSH bucket.
 
@@ -116,7 +122,7 @@ def lsh_ann_topk(
     bucket (flip one hyperplane bit) — the standard recall boost for
     sign-LSH at the cost of (n_planes+1)× candidate fan-out.
     """
-    bucketed = lsh_bucket(embeddings, n_planes)
+    bucketed = lsh_bucket(embeddings, n_planes, dim=dim)
     q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

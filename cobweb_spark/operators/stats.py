@@ -122,6 +122,41 @@ def status_class_minute_counts(pages: DataFrame) -> DataFrame:
     )
 
 
+def minute_retention(
+    minute_df: DataFrame,
+    retention_minutes: int = 60,
+    minute_col: str = "minute",
+    now=None,
+) -> DataFrame:
+    """Retention eviction over a per-minute series (lib/stats.rb:221-227:
+    ``increment_time_stat`` deletes keys strictly older than ``duration``
+    minutes before now — keep ⇔ minute ≥ now − duration, default 60).
+
+    ``now`` defaults to the series head (max minute) — the deterministic
+    stand-in for wall-clock now. A watermark filter: one scalar max agg +
+    a broadcast cross join, no shuffle of the series itself. Works on both
+    the crawl's integer virtual minutes and real timestamp minutes.
+    """
+    c = F.col(minute_col)
+    is_ts = dict(minute_df.dtypes)[minute_col].startswith("timestamp")
+
+    def cutoff(now_col):
+        if is_ts:
+            return now_col - F.expr(
+                f"INTERVAL {int(retention_minutes)} MINUTES"
+            )
+        return now_col - F.lit(int(retention_minutes))
+
+    if now is None:
+        mx = minute_df.agg(F.max(minute_col).alias("__now"))
+        return (
+            minute_df.crossJoin(F.broadcast(mx))
+            .filter(c >= cutoff(F.col("__now")))
+            .drop("__now")
+        )
+    return minute_df.filter(c >= cutoff(F.lit(now)))
+
+
 def run_summary(
     pages: DataFrame,
     n_waves: int,

@@ -238,15 +238,32 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for pairs sharing ≥1 token.
 
     intersection via self-join on token, |A∪B| = |A|+|B|−|A∩B|. The
-    per-token join is the scalable route (no cross join); mega-tokens
-    (stopwords) are the skew risk — AQE skew-join splits them.
+    per-token join is the scalable route (no cross join) BUT a token with
+    document frequency d emits O(d²) pairs — a stopword-grade token at
+    100 TB is quadratic work AQE can split but not shrink. ``max_df``
+    (the standard document-frequency prefix filter) drops tokens with
+    df > max_df before the self-join; sizes are computed AFTER the cap,
+    so the guarded variant computes Jaccard over the df≤max_df token
+    space — a well-defined, deterministic semantics the DuckDB oracle
+    reproduces exactly. Unguarded (max_df=None) remains the small-scope
+    oracle tier; at scale, run guarded or demote to post-LSH verification.
     """
     th = _token_hashes(documents).select("doc_id", "token")
+    if max_df is not None:
+        keep = (
+            th.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= int(max_df))
+            .select("token")
+        )
+        th = th.join(keep, "token")
     sizes = th.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = th.alias("a"), th.alias("b")
     inter = (

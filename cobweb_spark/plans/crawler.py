@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..functions.url_udfs import host_udf
-from ..model import FRONTIER_SCHEMA
+from ..model import EDGES_SCHEMA, FRONTIER_SCHEMA
 from ..operators.admit import admit_wave
 from ..operators.classify import (
     first_discovery_wins,
@@ -216,6 +216,16 @@ class SparkCrawler:
         spark, cfg = self.spark, self.cfg
         extra_internal: list[str] = []
         classifier = cfg.classifier(base_url)
+        # stable per-crawl identity: same seeds+base resumed later must hit
+        # the same exactly-once guard; a different crawl sharing the store
+        # dir must not (the reference keys everything by crawl_id,
+        # lib/cobweb.rb:72-75 — SHA1 there, content-derived here so resume
+        # needs no saved token)
+        import hashlib
+
+        run_id = hashlib.md5(
+            repr((base_url, tuple(cfg.seed_urls))).encode()
+        ).hexdigest()[:12]
 
         pages_parts: list[DataFrame] = []
         cand_parts: list[DataFrame] = []
@@ -267,6 +277,12 @@ class SparkCrawler:
         empty_frontier = frontier.limit(0)
         # n_frontier tracks |frontier| so the loop head needs no isEmpty job
         n_frontier = frontier.count() if latest is not None else next_order
+        # cancel-drain bookkeeping: the last committed snapshot wave, and
+        # the last wave's (checkpointed) outputs so a cancel between sparse
+        # snapshots can seal the current state without recomputing anything
+        last_snap = latest if latest is not None else -1
+        last_cut = last_edges = last_cands = None
+        last_counters: dict = {}
 
         import time as _time
 
@@ -622,6 +638,15 @@ class SparkCrawler:
                 n_frontier = n_new
 
             if self.store is not None:
+                last_cut, last_edges, last_cands = cut, edges_wave, candidates
+                last_counters = {
+                    "n_fetched": n_fetched,
+                    "next_order": next_order,
+                    "pages_counted": pages_counted,
+                    "extra_internal": extra_internal,
+                    "bank_synced": not bank_lagging,
+                }
+                self.store.append_wave_metrics(metrics[-1])
                 if limit_hit or wave % max(cfg.checkpoint_every, 1) == 0:
                     self.store.commit_wave(
                         wave_id=wave,
@@ -630,16 +655,11 @@ class SparkCrawler:
                         pages=cut,
                         edges=edges_wave,
                         candidates=candidates,
-                        counters={
-                            "n_fetched": n_fetched,
-                            "next_order": next_order,
-                            "pages_counted": pages_counted,
-                            "extra_internal": extra_internal,
-                            "bank_synced": not bank_lagging,
-                        },
+                        counters=last_counters,
                         metrics=metrics[-1],
                         filters_bank=self.prefilter,
                     )
+                    last_snap = wave
                 else:
                     # between full snapshots, the per-wave output parts are
                     # still persisted (cheap appends): on resume from the
@@ -688,7 +708,7 @@ class SparkCrawler:
         )
         edges = _union(
             edge_parts,
-            self.spark.createDataFrame([], "src string, dst string"),
+            self.spark.createDataFrame([], EDGES_SCHEMA),
         )
         result = SparkCrawlResult(
             pages=pages,
@@ -705,22 +725,54 @@ class SparkCrawler:
         # append idempotent across resumes). Cancellation drains without a
         # finished enqueue, like lib/cobweb_crawl_helper.rb.
         finished = not cancelled and n_frontier == 0
-        if finished and (on_finished is not None or self.store is not None):
-            summary = stats_ops.run_summary(
-                pages, n_waves=result.n_waves, queue_counter=n_frontier
-            )
+
+        def _stamp(df: DataFrame) -> DataFrame:
             # lifecycle wall-clock timestamps (lib/stats.rb:27-41) ride on
             # the stored row only — they are not part of the deterministic
             # contract
-            stamped = summary.withColumn(
+            return df.withColumn(
                 "crawl_started_at",
                 F.timestamp_millis(F.lit(int(t_started * 1000))),
             ).withColumn(
                 "finished_at",
                 F.timestamp_millis(F.lit(int(_time.time() * 1000))),
             )
+
+        if finished and (on_finished is not None or self.store is not None):
+            summary = stats_ops.run_summary(
+                pages, n_waves=result.n_waves, queue_counter=n_frontier
+            )
             if self.store is not None:
-                self.store.commit_finished(stamped)
+                self.store.commit_finished(_stamp(summary), run_id=run_id)
             if on_finished is not None:
                 on_finished(summary)
+        elif cancelled and self.store is not None:
+            # cancellation drain (lib/cobweb_crawl_helper.rb:18-87): seal
+            # THIS crawl's remaining queue into a persisted remainder —
+            # if the cancel landed between sparse snapshots, commit the
+            # current state (all inputs are already checkpointed, nothing
+            # recomputes) so resume continues from the cancel point — and
+            # record a Cancelled run row (status transition analogue,
+            # lib/stats.rb end_crawl; NO finished enqueue happens).
+            if last_snap < wave - 1 and last_cut is not None:
+                self.store.commit_wave(
+                    wave_id=wave - 1,
+                    frontier=frontier,
+                    seen=seen,
+                    pages=last_cut,
+                    edges=last_edges,
+                    candidates=last_cands,
+                    counters=last_counters,
+                    metrics=metrics[-1] if metrics else None,
+                    filters_bank=self.prefilter,
+                )
+            cancelled_row = stats_ops.run_summary(
+                pages,
+                n_waves=result.n_waves,
+                queue_counter=n_frontier,
+                status="Cancelled",
+            )
+            self.store.commit_finished(
+                _stamp(cancelled_row), run_id=f"{run_id}-cancelled"
+            )
         return result

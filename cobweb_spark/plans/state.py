@@ -137,25 +137,64 @@ class SnapshotStore:
         os.rename(tmp, wdir)
         return wdir
 
-    def commit_finished(self, summary: DataFrame) -> bool:
+    def commit_finished(
+        self, summary: DataFrame, run_id: str = "default"
+    ) -> bool:
         """Append the final-statistics row to the ``crawl_runs`` table,
         exactly once per crawl (the reference guards with a WATCH/MULTI
-        first_to_finish transaction, ``lib/crawl.rb:241-253``; here the
-        atomic-rename marker makes the append idempotent across resumes).
+        first_to_finish transaction, ``lib/crawl.rb:241-253``).
+
+        Crash-atomic and per-crawl: the row is staged OUTSIDE the table
+        directory and published with one ``os.rename`` into
+        ``crawl_runs/run-<run_id>`` — the renamed directory is
+        simultaneously the data and the marker, so no failure ordering can
+        leave a marker without a row or a row without a marker, and a
+        second crawl sharing the store dir gets its own run key instead of
+        being silently swallowed by a store-global flag.
         Returns True if this call performed the append."""
-        marker = os.path.join(self.dir, "_FINISHED")
-        if os.path.exists(marker):
+        runs_dir = os.path.join(self.dir, "crawl_runs")
+        final = os.path.join(runs_dir, f"run-{run_id}")
+        if os.path.isdir(final):
             return False
-        path = os.path.join(self.dir, "crawl_runs")
-        summary.write.mode("append").parquet(path)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("finished")
-        os.replace(tmp, marker)
+        os.makedirs(runs_dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_run_tmp-{run_id}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        summary.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # lost the publish race to a concurrent resume — their row won
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
         return True
 
     def load_crawl_runs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "crawl_runs"))
+        # run rows live in per-run subdirectories (see commit_finished)
+        return self.spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(os.path.join(self.dir, "crawl_runs"))
+
+    def append_wave_metrics(self, metrics: dict) -> None:
+        """Append one wave's metrics dict to the queryable ``wave_metrics``
+        table. Driver-side pyarrow write (the dict already lives on the
+        driver — a Spark job for one row would be pure overhead), atomic
+        and idempotent via a wave-keyed rename, so scaling analyses query
+        parquet instead of re-parsing logs."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mdir = os.path.join(self.dir, "wave_metrics")
+        os.makedirs(mdir, exist_ok=True)
+        final = os.path.join(mdir, f"wave-{metrics['wave_id']:06d}.parquet")
+        if os.path.exists(final):
+            return
+        tmp = os.path.join(self.dir, f"_wm_tmp-{metrics['wave_id']:06d}")
+        pq.write_table(pa.Table.from_pylist([metrics]), tmp)
+        os.replace(tmp, final)
+
+    def load_wave_metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "wave_metrics"))
 
     def latest_wave(self) -> int | None:
         marker = os.path.join(self.dir, "_LATEST")

@@ -565,12 +565,19 @@ def build_scale_corpus_arrays(
     # BFS ramp-up waves are a workload parameter, not engine behavior.
     if n_seeds is None:
         n_seeds = min(n_hosts, 8)
-    seeds = [
-        f"http://{hosts[h]}/p{i}.html"
-        for i in range(-(-n_seeds // n_hosts))
-        for h in range(n_hosts)
-        if i * n_hosts + h < n_seeds and i < int(host_sizes[h])
-    ]
+    # accumulate until n_seeds (skip-and-continue over hosts that ran
+    # out of pages): ADVICE regression — the old guard silently dropped
+    # entries, under-seeding benchmarks on corpora with small hosts
+    n_seeds = min(n_seeds, int(host_sizes.sum()))
+    seeds: list[str] = []
+    i = 0
+    while len(seeds) < n_seeds:
+        for h in range(n_hosts):
+            if len(seeds) >= n_seeds:
+                break
+            if i < int(host_sizes[h]):
+                seeds.append(f"http://{hosts[h]}/p{i}.html")
+        i += 1
     return tbl, seeds
 
 
