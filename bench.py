@@ -77,24 +77,30 @@ def main() -> dict:
         prefilter_min_seen=0 if prefilter_mode == "force" else 1_000_000,
     )
     t0 = time.time()
-    res = SparkCrawler(spark, docs, cfg).crawl(None)
+    crawler = SparkCrawler(spark, docs, cfg)
+    res = crawler.crawl(None)
     n_fetched = res.pages.count()
     n_seen = res.seen.count()
     t_crawl = time.time() - t0
     timings["crawl_scale"] = round(t_crawl, 3)
     urls_per_sec = round(n_fetched / t_crawl, 1)
+    # release the crawl's cached relations before timing the independent
+    # secondary operators (round-2 postmortem: text_quality read 12.7s vs
+    # 1.95s purely from inherited heap pressure of the cached edge table)
+    crawler.close()
 
     if prefilter_mode == "both":
         t0 = time.time()
-        SparkCrawler(
-            spark, docs, cfg.with_(prefilter_min_seen=0)
-        ).crawl(None).pages.count()
+        c2 = SparkCrawler(spark, docs, cfg.with_(prefilter_min_seen=0))
+        c2.crawl(None).pages.count()
         timings["crawl_scale_forced_prefilter"] = round(time.time() - t0, 3)
+        c2.close()
         t0 = time.time()
-        SparkCrawler(
-            spark, docs, cfg.with_(use_seen_prefilter=False)
-        ).crawl(None).pages.count()
+        c3 = SparkCrawler(spark, docs, cfg.with_(use_seen_prefilter=False))
+        c3.crawl(None).pages.count()
         timings["crawl_scale_noprefilter"] = round(time.time() - t0, 3)
+        c3.close()
+    spark.catalog.clearCache()
 
     # --- extraction-only throughput (links extracted/sec) ---
     t0 = time.time()

@@ -116,6 +116,7 @@ def robots_gate(
     robots: DataFrame | None,
     cfg: CrawlConfig,
     compiled: tuple[DataFrame, int] | None = None,
+    host_col: str | None = None,
 ) -> DataFrame:
     """Reject links disallowed by per-host robots rules.
 
@@ -138,7 +139,12 @@ def robots_gate(
         return candidates
     if n_hosts <= ROBOTS_BROADCAST_MAX_HOSTS:
         rules_df = F.broadcast(rules_df)
-    with_host = candidates.withColumn("__host", host_udf("link"))
+    # ``host_col``: caller already carries the link's host (precomputed
+    # edge table) — skip the per-wave pandas UDF pass
+    with_host = candidates.withColumn(
+        "__host",
+        F.col(host_col) if host_col else host_udf("link"),
+    )
     path = F.parse_url(F.col("link"), F.lit("PATH"))
     joined = with_host.join(
         rules_df,

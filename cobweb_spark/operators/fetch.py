@@ -52,7 +52,7 @@ def _join_canon_udf(base: pd.Series, link: pd.Series) -> pd.Series:
 def _left_lookup(
     left: DataFrame, meta: DataFrame, broadcast_left: bool = True
 ) -> DataFrame:
-    """left ⟕ meta on left.fetch_url == meta.doc_id, with the FRONTIER as
+    """left ⟕ meta on left.fetch_key == meta.doc_key, with the FRONTIER as
     the broadcast/build side.
 
     A plain ``left.join(meta, ..., 'left')`` can only build (or broadcast)
@@ -63,19 +63,24 @@ def _left_lookup(
     the unmatched rows with null metadata. The corpus is scanned (never
     shuffled, never broadcast); the frontier is broadcast twice (it is the
     small side by design — per-wave batches).
+
+    Join keys are 8-byte ``xxhash64(url)`` columns, not URL strings (see
+    ``fetch_meta``): the per-wave probe over the whole cached corpus then
+    hashes/compares longs and never streams the 40+-byte doc_id column —
+    the Iceberg bucket-key shape.
     """
     # big waves skip the driver-side broadcast build (serial, memory-heavy)
     # and let the shuffled-hash join build on the frontier side instead
     lb = F.broadcast(left) if broadcast_left else left
-    inner = meta.join(lb, meta["doc_id"] == lb["fetch_url"], "inner").drop(
-        "doc_id"
+    inner = meta.join(lb, meta["doc_key"] == lb["fetch_key"], "inner").drop(
+        "doc_key"
     )
-    keys = left.select("fetch_url").distinct()
+    keys = left.select("fetch_key").distinct()
     keys = F.broadcast(keys) if broadcast_left else keys
     matched_keys = (
-        meta.select("doc_id")
-        .join(keys, meta["doc_id"] == F.col("fetch_url"), "inner")
-        .select("fetch_url")
+        meta.select("doc_key")
+        .join(keys, meta["doc_key"] == F.col("fetch_key"), "inner")
+        .select("fetch_key")
     )
     data_cols = [c for c in META_COLS if c != "doc_id"]
     # broadcast the matched-key set only when the frontier side is small
@@ -83,7 +88,7 @@ def _left_lookup(
     # the driver — the big-wave path uses a shuffled anti-join with the
     # keys as the (right/build) side instead
     mk = F.broadcast(matched_keys) if broadcast_left else matched_keys
-    missing = left.join(mk, "fetch_url", "left_anti")
+    missing = left.join(mk, "fetch_key", "left_anti")
     for c, t in zip(
         data_cols,
         ["int", "string", "string", "long", "double", "string"],
@@ -92,12 +97,31 @@ def _left_lookup(
     return inner.unionByName(missing.select(*inner.columns))
 
 
+def keyed_meta(documents: DataFrame, key_join: bool = True) -> DataFrame:
+    """Narrow corpus projection keyed for the fetch join.
+
+    ``key_join=True`` replaces the doc_id string with its xxhash64 — the
+    cached relation every wave streams is then ~40 bytes/row narrower and
+    the join probes compare longs. Requires doc_id → xxhash64 injectivity
+    over the corpus (a corpus-build invariant at 10^10 scale; SparkCrawler
+    verifies it once per crawl and falls back to string keys on the
+    astronomically-unlikely collision). Passing an already-keyed frame
+    (the crawler's cached copy) is a no-op.
+    """
+    if "doc_key" in documents.columns:
+        return documents
+    meta = documents.select(*META_COLS)
+    key = F.xxhash64("doc_id") if key_join else F.col("doc_id")
+    return meta.withColumn("doc_key", key).drop("doc_id")
+
+
 def fetch_meta(
     frontier: DataFrame,
     documents: DataFrame,
     cfg: CrawlConfig,
     skip_redirects: bool = False,
     broadcast_frontier: bool = True,
+    key_join: bool = True,
 ) -> DataFrame:
     """Join frontier against corpus metadata, resolving redirect chains.
 
@@ -105,12 +129,19 @@ def fetch_meta(
     wave_rank (dense rank within the wave). Output adds: fetch_url (final
     canonical URL), base_url (initial canonical URL), status_code,
     mime_type, character_set, length, response_time, location,
-    redirect_through, error, text_content, permitted.
+    redirect_through, error, text_content, permitted, corpus_hit (the row
+    matched a corpus document — only such rows can yield links).
     """
-    meta = documents.select(*META_COLS)
+    meta = keyed_meta(documents, key_join)
+
+    def fkey():
+        return (
+            F.xxhash64("fetch_url") if key_join else F.col("fetch_url")
+        )
 
     cur = (
         frontier.withColumn("fetch_url", canonicalize_udf("url"))
+        .withColumn("fetch_key", fkey())
         .withColumn("base_url", F.col("fetch_url"))
         .withColumn("redirect_through", F.lit(None).cast("array<string>"))
         .withColumn("error", F.lit(None).cast("string"))
@@ -155,8 +186,13 @@ def fetch_meta(
                     F.array(F.col("next_url")),
                 ),
             )
-            .drop(*[c for c in META_COLS if c != "doc_id"], "fetch_url")
+            .drop(
+                *[c for c in META_COLS if c != "doc_id"],
+                "fetch_url",
+                "fetch_key",
+            )
             .withColumnRenamed("next_url", "fetch_url")
+            .withColumn("fetch_key", fkey())
         )
         cur = _left_lookup(redirecting, meta).localCheckpoint(eager=False)
 
@@ -196,8 +232,8 @@ def fetch_meta(
     )
     # materialize the found flag BEFORE any withColumn overwrites
     # status_code — later expressions must not see the patched value
-    out = out.withColumn("__found", F.col("status_code").isNotNull())
-    found = F.col("__found")
+    out = out.withColumn("corpus_hit", F.col("status_code").isNotNull())
+    found = F.col("corpus_hit")
     out = (
         out.withColumn(
             "error",
@@ -223,14 +259,13 @@ def fetch_meta(
             "response_time",
             F.when(found, F.col("response_time")).otherwise(F.lit(0.0)),
         )
-        .drop("__found")
     )
 
     mime = F.coalesce(F.col("mime_type"), F.lit(""))
     out = out.withColumn(
         "text_content", mime.rlike(cfg.text_mime_re)
     ).withColumn("permitted", mime.rlike(cfg.valid_mime_re))
-    return out
+    return out.drop("fetch_key")
 
 
 def apply_crawl_limit_cut(

@@ -60,6 +60,7 @@ PAGE_COLS = [
     "error",
     "text_content",
     "permitted",
+    "corpus_hit",
     "fetch_order",
     "wave_id",
 ]
@@ -126,40 +127,36 @@ class SparkCrawler:
         # narrow cached projections: every wave joins against the corpus,
         # so the metadata columns and the (heavy) spans column are cached
         # separately — fetch/redirect joins scan only the small frame.
-        # Both are hash-partitioned by doc_id BEFORE caching: the cached
-        # scan reports that partitioning, so every per-wave equi-join on
-        # doc_id shuffles only the (small) frontier side — the co-located
-        # join the reference's Redis key lookups amount to. On a real
-        # cluster this is the bucketed Iceberg table.
-        from ..operators.fetch import META_COLS
+        # Joins are keyed by xxhash64(doc_id) — 8-byte longs instead of
+        # 40+-byte URL strings — after a one-job injectivity check (at
+        # 10^10 docs this is a corpus-build invariant; the check falls
+        # back to string keys on a collision). The cached frame is
+        # hash-partitioned by the key BEFORE caching: the cached scan
+        # reports that partitioning, so every per-wave equi-join shuffles
+        # only the (small) frontier side — the co-located join the
+        # reference's Redis key lookups amount to. On a real cluster this
+        # is the bucket(doc_id)-partitioned Iceberg table.
+        from ..operators.fetch import keyed_meta
 
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        self._meta = documents.select(*META_COLS)
+        chk = documents.agg(
+            F.count("doc_id").alias("n"),
+            F.countDistinct(F.xxhash64("doc_id")).alias("nk"),
+        ).collect()[0]
+        self._key_join = chk["n"] == chk["nk"]
+        self._meta = keyed_meta(documents, self._key_join)
         if self.cfg.cache_corpus:
-            self._meta = self._meta.repartition(n_part, "doc_id").persist()
+            self._meta = self._meta.repartition(n_part, "doc_key").persist()
         # spans stay UNCACHED: Spark's in-memory cache is row-serialized
         # for nested types, so scanning cached span arrays per wave is far
         # slower than a pruned vectorized parquet read
         self._spans = documents.select("doc_id", "spans")
-        self._edges_all = None
-        if self.cfg.precompute_edges:
-            ex_in = documents.select(
-                F.col("doc_id").alias("parent"),
-                F.col("doc_id").alias("parent_url"),
-                F.lit(0).cast("long").alias("parent_fetch_order"),
-                F.lit(0).alias("parent_depth"),
-                "spans",
-            )
-            self._edges_all = (
-                extract_links(ex_in, self.cfg.kind_categories())
-                .select(
-                    F.col("parent_url").alias("src_doc"),
-                    "link",
-                    "position",
-                )
-                .repartition(n_part, "src_doc")
-                .persist()
-            )
+        self._n_part = n_part
+        # the precomputed edge table is built lazily at crawl start (it
+        # needs the crawl's classifier to hoist per-wave work; see
+        # _ensure_edges)
+        self._edges_sel = None
+        self._edges_static = False
         self._has_redirects: bool | None = None
         self.robots = robots
         self._robots_compiled = None
@@ -187,6 +184,94 @@ class SparkCrawler:
             (u, host_of(u), 0, i, None) for i, u in enumerate(seeds)
         ]
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Release per-crawl cached state: the cached meta/edge relations
+        and the filter bank's scratch generations. Crawl RESULTS stay
+        valid (pages/seen/edges are checkpointed, not cached). Call this
+        before timing unrelated work in the same session — leaving GBs of
+        cached relations resident makes later measurements observe GC
+        pressure instead of the operator under test."""
+        for df in (self._meta, self._edges_sel):
+            try:
+                if df is not None:
+                    df.unpersist()
+            except Exception:
+                pass
+        if self.prefilter is not None:
+            try:
+                self.prefilter.close()
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
+    def _probe_redirects(self) -> bool:
+        if self._has_redirects is None:
+            self._has_redirects = bool(self.cfg.follow_redirects) and (
+                self._meta.filter(
+                    "status_code >= 300 and status_code < 400"
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+        return self._has_redirects
+
+    def _ensure_edges(self, classifier, base_url) -> None:
+        """Build the precomputed edge table (one extraction pass over the
+        corpus) on first use, hoisting every wave-independent stage out of
+        the per-wave loop.
+
+        Always hoisted: link extraction, the https→http rewrite, the host
+        computation (on the rewritten form — what the frontier stores),
+        and the 8-byte src_key. Additionally hoisted when the classifier
+        cannot change mid-crawl (no first-page-redirect widening possible,
+        no parent-dependent crawl_linked_external disjunct): the whole
+        internal/external classification — per-wave expansion then does no
+        regex work at all. The cached table is (src_key, link, host,
+        position): link strings are the output, everything else is fixed
+        width.
+        """
+        if self._edges_sel is not None:
+            return
+        cfg = self.cfg
+        static_ok = not cfg.crawl_linked_external and not (
+            cfg.first_page_redirect_internal and self._probe_redirects()
+        )
+        ex_in = self.documents.select(
+            F.col("doc_id").alias("parent"),
+            F.col("doc_id").alias("parent_url"),
+            F.lit(0).cast("long").alias("parent_fetch_order"),
+            F.lit(0).alias("parent_depth"),
+            "spans",
+        )
+        raw = extract_links(ex_in, cfg.kind_categories())
+        if static_ok:
+            raw = select_internal(raw, classifier, cfg)  # rewrites link
+            link_n = F.col("link")
+        elif cfg.treat_https_as_http:
+            # classification must see the raw link per wave; host is of
+            # the rewritten form (what select_internal will emit)
+            link_n = F.regexp_replace("link", "^https", "http")
+        else:
+            link_n = F.col("link")
+        src_key = (
+            F.xxhash64("parent_url")
+            if self._key_join
+            else F.col("parent_url")
+        )
+        self._edges_sel = (
+            raw.select(
+                src_key.alias("src_key"),
+                "link",
+                host_udf(link_n).alias("host"),
+                "position",
+            )
+            .repartition(self._n_part, "src_key")
+            .persist()
+        )
+        self._edges_static = static_ok
 
     # ------------------------------------------------------------------
     def crawl(
@@ -288,6 +373,12 @@ class SparkCrawler:
 
         t_started = _time.time()
 
+        if cfg.precompute_edges:
+            # one extraction pass over the corpus, with every
+            # wave-independent stage (and, when the classifier is
+            # provably static, the whole classification) hoisted into it
+            self._ensure_edges(classifier, base_url)
+
         cancelled = False
         while wave < cfg.max_waves:
             if n_frontier == 0:
@@ -323,15 +414,7 @@ class SparkCrawler:
                     size_hint=n_frontier,
                 )
 
-            if self._has_redirects is None:
-                self._has_redirects = bool(cfg.follow_redirects) and (
-                    self._meta.filter(
-                        "status_code >= 300 and status_code < 400"
-                    )
-                    .limit(1)
-                    .count()
-                    > 0
-                )
+            self._probe_redirects()
             bcast_wave = n_frontier < 150_000
             fetched = fetch_meta(
                 admitted,
@@ -339,6 +422,7 @@ class SparkCrawler:
                 cfg,
                 skip_redirects=not self._has_redirects,
                 broadcast_frontier=bcast_wave,
+                key_join=self._key_join,
             )
             cut, limit_hit = apply_crawl_limit_cut(fetched, cfg, remaining)
             cut = (
@@ -470,18 +554,27 @@ class SparkCrawler:
                     # finals unioned in.)
                     self.prefilter.add(finals)
 
-            # extraction input: permitted pages joined with their spans
-            to_extract = cut.filter("permitted").select(
+            # extraction input: permitted pages that matched a corpus
+            # document (only those can yield links; the corpus_hit guard
+            # also makes the keyed expand join exactly equivalent to the
+            # string join — every probe key is a verified doc_id hash)
+            to_extract = cut.filter("permitted and corpus_hit").select(
                 F.col("url").alias("parent"),
                 F.col("fetch_url").alias("parent_url"),
                 F.col("fetch_order").alias("parent_fetch_order"),
                 F.col("depth").alias("parent_depth"),
             )
-            if self._edges_all is not None:
-                candidates = to_extract.join(
-                    self._edges_all,
-                    to_extract.parent_url == self._edges_all.src_doc,
-                ).drop("src_doc")
+            if self._edges_sel is not None:
+                pk = (
+                    F.xxhash64("parent_url")
+                    if self._key_join
+                    else F.col("parent_url")
+                )
+                wv = to_extract.withColumn("__pk", pk)
+                candidates = wv.join(
+                    self._edges_sel,
+                    wv["__pk"] == self._edges_sel["src_key"],
+                ).drop("__pk", "src_key")
             else:
                 # stream the spans scan against a broadcast of the wave:
                 # the corpus side must never be shuffled or broadcast.
@@ -503,12 +596,24 @@ class SparkCrawler:
                 # inbound indexing needs the raw candidate stream twice —
                 # materialize; otherwise let it flow straight through
                 candidates = candidates.localCheckpoint()
-                cand_parts.append(candidates)
+                cand_parts.append(
+                    candidates.drop("host")
+                    if "host" in candidates.columns
+                    else candidates
+                )
 
             _t_sel = _time.time()
-            selected = select_internal(candidates, classifier, cfg)
+            if self._edges_sel is not None and self._edges_static:
+                # classification was hoisted into the edge table build
+                selected = candidates
+            else:
+                selected = select_internal(candidates, classifier, cfg)
             selected = robots_gate(
-                selected, self.robots, cfg, compiled=self._robots_compiled
+                selected,
+                self.robots,
+                cfg,
+                compiled=self._robots_compiled,
+                host_col="host" if self._edges_sel is not None else None,
             )
             # dedup BEFORE the anti-join: map-side combine collapses the
             # duplicate-heavy candidate stream to unique links, so the
@@ -585,7 +690,11 @@ class SparkCrawler:
             # first job
             new_frontier = fresh.select(
                 F.col("link").alias("url"),
-                host_udf("link").alias("host"),
+                (
+                    F.col("host")
+                    if self._edges_sel is not None
+                    else host_udf("link")
+                ).alias("host"),
                 (F.col("parent_depth") + 1).alias("depth"),
                 "discovery_order",
                 F.col("parent").alias("parent"),

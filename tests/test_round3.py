@@ -168,6 +168,54 @@ class TestStrayPercentParity:
         assert by_queued[raw]["status_code"] == 200
 
 
+class TestPrecomputeEdgesParity:
+    """The precomputed edge table (keyed join + hoisted classification)
+    must reproduce the per-wave extraction path exactly."""
+
+    def test_static_hoisted_classification(self, spark, sample_site_corpus):
+        # no redirects in the sample corpus → classification is hoisted
+        cfg = CrawlConfig(precompute_edges=True)
+        docs = corpus_df(spark, sample_site_corpus)
+        crawler = SparkCrawler(spark, docs, cfg)
+        res = crawler.crawl(fx.SAMPLE_SITE_BASE)
+        assert crawler._edges_static is True
+        assert crawler._key_join is True
+        oracle = CrawlOracle(sample_site_corpus, cfg).crawl(
+            fx.SAMPLE_SITE_BASE
+        )
+        assert res.fetch_sequence() == oracle.fetch_sequence
+        assert {r["url"] for r in res.seen.collect()} == oracle.seen
+
+    def test_redirect_corpus_falls_back_to_per_wave(self, spark):
+        # redirects present + first_page_redirect_internal → classifier
+        # can widen mid-crawl → classification must NOT be hoisted
+        corpus = fx.build_seed_redirect_corpus()
+        cfg = CrawlConfig(precompute_edges=True)
+        docs = corpus_df(spark, corpus)
+        crawler = SparkCrawler(spark, docs, cfg)
+        res = crawler.crawl(fx.SEED_REDIRECT_BASE)
+        assert crawler._edges_static is False
+        oracle = CrawlOracle(corpus, cfg).crawl(fx.SEED_REDIRECT_BASE)
+        assert res.fetch_sequence() == oracle.fetch_sequence
+        assert {r["url"] for r in res.seen.collect()} == oracle.seen
+
+    def test_linked_external_with_precompute(
+        self, spark, sample_site_corpus
+    ):
+        cfg = CrawlConfig(
+            precompute_edges=True, crawl_linked_external=True
+        )
+        docs = corpus_df(spark, sample_site_corpus)
+        crawler = SparkCrawler(spark, docs, cfg)
+        res = crawler.crawl(fx.SAMPLE_SITE_BASE)
+        assert crawler._edges_static is False
+        oracle = CrawlOracle(sample_site_corpus, cfg).crawl(
+            fx.SAMPLE_SITE_BASE
+        )
+        assert res.fetch_sequence() == oracle.fetch_sequence
+        assert {r["url"] for r in res.seen.collect()} == oracle.seen
+
+
 class TestJaccardGuard:
     def test_max_df_caps_token_blowup(self, spark):
         rows = [
