@@ -50,6 +50,11 @@ class CrawlConfig:
     # by the corpus parser).
     ignore_default_tags: bool = False
     additional_tags: dict | None = None
+    # proxy options (lib/cobweb.rb:46-47, spec/cobweb/cobweb_spec.rb:
+    # 246-253): accepted for API parity; inert under the deterministic
+    # corpus model (there is no network layer to route through a proxy)
+    proxy_addr: str | None = None
+    proxy_port: int | None = None
 
     # --- corpus/fetch model (replaces the live HTTP layer) ---
     # What a URL absent from the corpus returns. 404 with an EMPTY mime

@@ -78,6 +78,15 @@ def get_spark(
             "spark.executor.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_EXECUTOR_OPTS", "-Xms4g"),
         )
+        # ignored under local[*] (driver heap rules); REQUIRED under
+        # local-cluster: the [n,cores,mem] spec caps the worker, but the
+        # executor still requests spark.executor.memory (default 1g —
+        # which the -Xms pin above would exceed, death-looping the
+        # executor launch)
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"),
+        )
         .config("spark.memory.fraction", "0.7")
         # shuffle/spill to tmpfs when available: local-mode shuffles on a
         # slow disk serialize the whole pipeline regardless of core count

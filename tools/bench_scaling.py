@@ -71,11 +71,18 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
     else:
         master = f"local[{cpus}]"
     env = dict(os.environ)
+    if n_executors is not None:
+        # the executor must REQUEST the worker's whole memory budget —
+        # local-cluster's [n,cores,mem] only caps the worker
+        env.setdefault("SPARK_GRAFT_EXECUTOR_MEM", f"{mem_mb}m")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(cpus, 8))
     # the driver does no heavy lifting in cluster mode; leave heap for
-    # the executor JVMs (equal per-executor memory across configs)
+    # the executor JVMs (equal per-executor memory across configs). The
+    # initial-heap pin must fit under the shrunken max.
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    env.setdefault("SPARK_GRAFT_DRIVER_OPTS", "-Xms8g")
+    env.setdefault("SPARK_GRAFT_EXECUTOR_OPTS", "-Xms4g")
     code = CRAWL_ONLY % {
         "repo": REPO,
         "cpus": cpus,
