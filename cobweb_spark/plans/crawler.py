@@ -592,6 +592,10 @@ class SparkCrawler:
                     "inner",
                 ).drop("doc_id")
                 candidates = extract_links(with_spans, cfg.kind_categories())
+            # parent_url was the join key's source; nothing downstream
+            # reads it — dropping it here keeps a 40+-byte string out of
+            # the dedup shuffle and the checkpointed candidate stream
+            candidates = candidates.drop("parent_url")
             if cfg.store_inbound_links:
                 # inbound indexing needs the raw candidate stream twice —
                 # materialize; otherwise let it flow straight through
@@ -813,7 +817,7 @@ class SparkCrawler:
                     F.lit(0).alias("parent_depth"),
                     "spans",
                 )
-            ),
+            ).drop("parent_url"),
         )
         edges = _union(
             edge_parts,

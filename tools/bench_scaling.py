@@ -127,35 +127,53 @@ def main():
     # whose high end does NOT oversubscribe the 32 physical cores —
     # the honest in-sandbox N→4N measurement. COBWEB_SCALING_PAIR=2,8
     # selects the oversubscribed wide pair for comparison.
+    # best-of-N per config, INTERLEAVED lo/hi so a bursty co-tenant-steal
+    # window (identical-code swings up to 3x on this VM) cannot bias one
+    # config; all runs are listed in the output.
+    repeats = int(os.environ.get("COBWEB_SCALING_REPEATS", "2"))
     pair = os.environ.get("COBWEB_SCALING_PAIR", "1,4")
     local_pair = os.environ.get("COBWEB_SCALING_LOCAL")  # e.g. "8,32"
+
+    def series(run_lo, run_hi, ratio, mode, metric):
+        lo_runs, hi_runs = [], []
+        for _ in range(max(repeats, 1)):
+            lo_runs.append(run_lo())
+            time.sleep(15)
+            hi_runs.append(run_hi())
+            time.sleep(15)
+        lo = min(lo_runs, key=lambda r: r["seconds"])
+        hi = min(hi_runs, key=lambda r: r["seconds"])
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / ratio
+        return {
+            "metric": metric,
+            "mode": mode,
+            "low": lo,
+            "high": hi,
+            "low_runs_sec": [r["seconds"] for r in lo_runs],
+            "high_runs_sec": [r["seconds"] for r in hi_runs],
+            "efficiency": round(eff, 3),
+            "corpus": params,
+        }
+
     if local_pair:
         c_lo, c_hi = (int(x) for x in local_pair.split(","))
-        lo = run_at(c_lo, params)
-        time.sleep(15)
-        hi = run_at(c_hi, params)
-        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (c_hi / c_lo)
-        mode = "local[N] — shared JVM, N task threads"
-        metric = f"scaling_efficiency_local{c_lo}_to_local{c_hi}"
+        result = series(
+            lambda: run_at(c_lo, params),
+            lambda: run_at(c_hi, params),
+            c_hi / c_lo,
+            "local[N] — shared JVM, N task threads",
+            f"scaling_efficiency_local{c_lo}_to_local{c_hi}",
+        )
     else:
         n_lo, n_hi = (int(x) for x in pair.split(","))
-        lo = run_at(0, params, n_executors=n_lo)
-        time.sleep(15)
-        hi = run_at(0, params, n_executors=n_hi)
-        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo)
         cores_per = int(os.environ.get("COBWEB_SCALING_CORES_PER", "4"))
-        mode = (
-            f"local-cluster[N,{cores_per},mem] — separate executor JVMs"
+        result = series(
+            lambda: run_at(0, params, n_executors=n_lo),
+            lambda: run_at(0, params, n_executors=n_hi),
+            n_hi / n_lo,
+            f"local-cluster[N,{cores_per},mem] — separate executor JVMs",
+            f"scaling_efficiency_{n_lo}_to_{n_hi}_executors",
         )
-        metric = f"scaling_efficiency_{n_lo}_to_{n_hi}_executors"
-    result = {
-        "metric": metric,
-        "mode": mode,
-        "low": lo,
-        "high": hi,
-        "efficiency": round(eff, 3),
-        "corpus": params,
-    }
     print(json.dumps(result, indent=2))
     return result
 
