@@ -25,6 +25,7 @@ def reject_seen(
     seen: DataFrame,
     prefilter=None,
     materialize: bool = True,
+    seen_parts: list[DataFrame] | None = None,
 ) -> DataFrame:
     """candidates minus seen (on the queued-form URL string).
 
@@ -34,21 +35,39 @@ def reject_seen(
     at a 10^10-row seen set) and probable-hits (exact anti-join, the
     correctness backstop).
 
+    ``seen_parts`` is the LSM-shaped fast path: a list of frames that
+    PARTITION the seen set, each single-column ``link``, hash-partitioned
+    on it and checkpointed (the crawler maintains one part per wave,
+    compacted when the list grows). The anti-join then chains per part:
+    the candidate side is shuffled ONCE (by the first join's
+    ENSURE_REQUIREMENTS) and every part streams with no exchange —
+    checkpointed frames keep their partitioning — so the per-wave cost
+    stops including a full re-shuffle of the ever-growing seen relation
+    (the Iceberg analogue: anti-join against a bucket(url) table's
+    appended snapshots). Falls back to the single anti-join against
+    ``seen`` when absent.
+
     The flagged stream is materialized before the split (``materialize``):
     both branches read one checkpointed pass instead of re-executing the
     whole extract→classify→dedup→probe pipeline per branch.
     """
-    if prefilter is None:
-        return candidates.join(
+
+    def anti(df: DataFrame) -> DataFrame:
+        if seen_parts:
+            out = df
+            for p in seen_parts:
+                out = out.join(p, "link", "left_anti")
+            return out
+        return df.join(
             seen.select(F.col("url").alias("link")), "link", "left_anti"
         )
+
+    if prefilter is None:
+        return anti(candidates)
 
     flagged = prefilter.mark_probable(candidates, key_col="link")
     if materialize:
         flagged = flagged.localCheckpoint()
     misses = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     probable = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-    survivors = probable.join(
-        seen.select(F.col("url").alias("link")), "link", "left_anti"
-    )
-    return misses.unionByName(survivors)
+    return misses.unionByName(anti(probable))

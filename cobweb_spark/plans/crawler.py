@@ -317,6 +317,18 @@ class SparkCrawler:
         edge_parts: list[DataFrame] = []
         metrics: list[dict] = []
 
+        def _as_part(df: DataFrame, col: str = "url") -> DataFrame:
+            """Hash-partition + checkpoint one seen part (column: link).
+
+            The parts LSM: reject_seen chains left_anti joins over these,
+            shuffling the candidate side once and the parts never (their
+            partitioning survives the checkpoint)."""
+            return (
+                df.select(F.col(col).alias("link"))
+                .repartition(self._n_part, "link")
+                .localCheckpoint(eager=False)
+            )
+
         latest = self.store.latest_wave() if (resume and self.store) else None
         if latest is not None:
             # exact resume: reload committed state and replay from wave k+1
@@ -325,6 +337,7 @@ class SparkCrawler:
                 latest, "frontier"
             ).localCheckpoint()
             seen = self.store.load_table(latest, "seen").localCheckpoint()
+            seen_parts = [_as_part(seen)]
             pages_parts = self.store.load_parts(latest, "pages")
             cand_parts = self.store.load_parts(latest, "candidates")
             edge_parts = self.store.load_parts(latest, "edges")
@@ -353,6 +366,7 @@ class SparkCrawler:
         else:
             frontier = self._seed_frontier(base_url).localCheckpoint()
             seen = frontier.select("url").localCheckpoint()
+            seen_parts = [_as_part(seen)]
             n_fetched = 0
             next_order = frontier.count()
             pages_counted = 0
@@ -534,6 +548,7 @@ class SparkCrawler:
             # (lib/crawl_helper.rb:35-39). cut is checkpointed, so this
             # union member is cheap to rescan — seen stays a lazy union of
             # checkpointed parts instead of re-materializing per wave.
+            wave_finals = None
             if cfg.mark_redirect_final_crawled and (
                 n_finals is None or n_finals
             ):
@@ -541,6 +556,9 @@ class SparkCrawler:
                     F.col("fetch_url") != F.col("url")
                 ).select(F.col("fetch_url").alias("url"))
                 seen = seen.unionByName(finals)
+                # tiny ephemeral part: this wave's candidates must reject
+                # against the finals too (broadcast anti, no shuffle)
+                wave_finals = finals.select(F.col("url").alias("link"))
                 if (
                     self.prefilter is not None
                     and not bank_lagging
@@ -639,8 +657,14 @@ class SparkCrawler:
                 # crawl that never engages
                 self.prefilter.add(seen)
                 bank_lagging = False
+            wave_parts = seen_parts + (
+                [wave_finals] if wave_finals is not None else []
+            )
             fresh = reject_seen(
-                fresh, seen, self.prefilter if engaged else None
+                fresh,
+                seen,
+                self.prefilter if engaged else None,
+                seen_parts=wave_parts,
             )
             # materialize BEFORE ordering: the ordering shuffle would
             # otherwise recompute the whole extract→dedup pipeline a
@@ -716,6 +740,26 @@ class SparkCrawler:
             # new_frontier is checkpointed; the union tree over checkpointed
             # parts is cheap to rescan — no per-wave seen re-materialization
             seen = seen.unionByName(new_frontier.select("url"))
+            # append this wave's seen part (new links + redirect finals),
+            # pre-partitioned on the join key so future waves' anti-joins
+            # stream it with no exchange; compact the LSM when it grows
+            part_src = new_frontier.select(F.col("url").alias("link"))
+            if wave_finals is not None:
+                part_src = part_src.unionByName(wave_finals)
+            seen_parts.append(
+                part_src.repartition(self._n_part, "link").localCheckpoint(
+                    eager=False
+                )
+            )
+            if len(seen_parts) > 16:
+                merged = seen_parts[0]
+                for p in seen_parts[1:]:
+                    merged = merged.unionByName(p)
+                seen_parts = [
+                    merged.repartition(
+                        self._n_part, "link"
+                    ).localCheckpoint(eager=False)
+                ]
             if self.prefilter is not None and not bank_lagging:
                 self.prefilter.add(new_frontier.select("url"))
 

@@ -89,8 +89,21 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
         "params": repr(params),
         "master": master,
     }
+    # CPU affinity: without it, a "4-slot" config's JVM helper threads
+    # (GC, netty, shuffle compression) and Python workers spill onto the
+    # other 28 physical cores, so the small config is silently
+    # over-provisioned and N→4N efficiency is UNDER-measured (observed:
+    # the 1-executor config beating the 4-executor config in steady-state
+    # waves). Pin each measurement to executor-cores + a fixed driver
+    # allowance (same in both configs, like a real cluster's separate
+    # driver node). COBWEB_SCALING_TASKSET=0 disables.
+    cmd = [sys.executable, "-c", code]
+    if os.environ.get("COBWEB_SCALING_TASKSET", "1") == "1":
+        driver_allow = int(os.environ.get("COBWEB_SCALING_DRIVER_CPUS", "2"))
+        n_cpus = min(cpus + driver_allow, os.cpu_count() or cpus)
+        cmd = ["taskset", "-c", f"0-{n_cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
