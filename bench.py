@@ -111,6 +111,18 @@ def main() -> dict:
         c3.crawl(None).pages.count()
         timings["crawl_scale_noprefilter"] = round(time.time() - t0, 3)
         c3.close()
+    # r1-compatible 8-seed run (same corpus, ramp-up-wave-dominated
+    # workload) so BENCH_r01's number stays comparable across rounds
+    if os.environ.get("COBWEB_BENCH_8SEED", "1") == "1":
+        corpus8, seeds8 = cached_scale_corpus(
+            **{**SCALE_PARAMS, "n_seeds": 8}
+        )
+        docs8 = load_documents(spark, corpus8)
+        t0 = time.time()
+        c8 = SparkCrawler(spark, docs8, cfg.with_(seed_urls=seeds8))
+        c8.crawl(None).pages.count()
+        timings["crawl_scale_8seed"] = round(time.time() - t0, 3)
+        c8.close()
     spark.catalog.clearCache()
 
     # --- extraction-only throughput (links extracted/sec) ---

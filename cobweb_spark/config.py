@@ -86,6 +86,12 @@ class CrawlConfig:
     # time; the tier's win is the |seen| ≫ |wave| regime). The bank is
     # MAINTAINED from wave 0 regardless, so engagement is seamless.
     prefilter_min_seen: int = 1_000_000
+    # bounded-staleness bank maintenance: once engaged, the bank is
+    # re-synced only after this many un-synced seen parts accumulate;
+    # in between, "definite miss" candidates are backstopped by exact
+    # anti-joins against the (small, co-partitioned) un-synced parts —
+    # zero bank jobs on most waves, exactness preserved
+    bank_sync_every: int = 4
     # persist narrow (meta, spans) projections of the corpus for the
     # per-wave joins; disable when the corpus doesn't fit executor storage
     cache_corpus: bool = True

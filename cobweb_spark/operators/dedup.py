@@ -26,6 +26,7 @@ def reject_seen(
     prefilter=None,
     materialize: bool = True,
     seen_parts: list[DataFrame] | None = None,
+    miss_backstop: list[DataFrame] | None = None,
 ) -> DataFrame:
     """candidates minus seen (on the queued-form URL string).
 
@@ -52,12 +53,15 @@ def reject_seen(
     whole extract→classify→dedup→probe pipeline per branch.
     """
 
+    def chain(df: DataFrame, parts) -> DataFrame:
+        out = df
+        for p in parts:
+            out = out.join(p, "link", "left_anti")
+        return out
+
     def anti(df: DataFrame) -> DataFrame:
         if seen_parts:
-            out = df
-            for p in seen_parts:
-                out = out.join(p, "link", "left_anti")
-            return out
+            return chain(df, seen_parts)
         return df.join(
             seen.select(F.col("url").alias("link")), "link", "left_anti"
         )
@@ -70,4 +74,10 @@ def reject_seen(
         flagged = flagged.localCheckpoint()
     misses = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     probable = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    if miss_backstop:
+        # bounded-staleness bank: the bank may lag the newest seen parts
+        # (maintenance is amortized over several waves), so a "definite
+        # miss" is only definite w.r.t. the synced prefix — the unsynced
+        # residual parts (small, co-partitioned) backstop it exactly.
+        misses = chain(misses, miss_backstop)
     return misses.unionByName(anti(probable))

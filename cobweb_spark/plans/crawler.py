@@ -363,6 +363,9 @@ class SparkCrawler:
                     os.path.join(self.store._wave_dir(latest), "filters")
                 )
                 bank_lagging = False
+            # the single resume part mirrors the loaded seen exactly; the
+            # loaded bank (if any) covered it at commit time
+            bank_synced_parts = 1 if not bank_lagging else 0
         else:
             frontier = self._seed_frontier(base_url).localCheckpoint()
             seen = frontier.select("url").localCheckpoint()
@@ -373,6 +376,7 @@ class SparkCrawler:
             wave = 0
             waves_done = 0
             bank_lagging = True
+            bank_synced_parts = 0
         empty_frontier = frontier.limit(0)
         # n_frontier tracks |frontier| so the loop head needs no isEmpty job
         n_frontier = frontier.count() if latest is not None else next_order
@@ -457,6 +461,12 @@ class SparkCrawler:
                 and cfg.first_page_redirect_internal
                 and bool(self._has_redirects)
             )
+            # redirect finals can only exist when the corpus has 3xx rows
+            # at all — skip the whole finals machinery (and its counts
+            # job) on redirect-free corpora
+            may_have_finals = cfg.mark_redirect_final_crawled and bool(
+                self._has_redirects
+            )
             # the counts agg is a driver job — pay it only when something
             # reads its outputs: limit bookkeeping, the first-page redirect
             # probe, or the finals gate of an ACTIVE filter bank. Otherwise
@@ -470,7 +480,7 @@ class SparkCrawler:
                 or (
                     self.prefilter is not None
                     and not bank_lagging
-                    and cfg.mark_redirect_final_crawled
+                    and may_have_finals
                 )
             )
             n_finals = None
@@ -549,28 +559,17 @@ class SparkCrawler:
             # union member is cheap to rescan — seen stays a lazy union of
             # checkpointed parts instead of re-materializing per wave.
             wave_finals = None
-            if cfg.mark_redirect_final_crawled and (
-                n_finals is None or n_finals
-            ):
+            if may_have_finals and (n_finals is None or n_finals):
                 finals = cut.filter(
                     F.col("fetch_url") != F.col("url")
                 ).select(F.col("fetch_url").alias("url"))
                 seen = seen.unionByName(finals)
                 # tiny ephemeral part: this wave's candidates must reject
-                # against the finals too (broadcast anti, no shuffle)
+                # against the finals too. It rides the miss-backstop chain
+                # (broadcast anti, no shuffle) — no per-wave bank add; the
+                # finals enter the bank at the next amortized sync via
+                # their seen part.
                 wave_finals = finals.select(F.col("url").alias("link"))
-                if (
-                    self.prefilter is not None
-                    and not bank_lagging
-                    and n_finals
-                ):
-                    # the bank must cover EVERYTHING in `seen` before this
-                    # wave's reject_seen: a final URL missing from the
-                    # bloom would read as definitely-new and be re-fetched
-                    # when linked directly later. (While lagging, the
-                    # bulk sync below reads `seen`, which already has the
-                    # finals unioned in.)
-                    self.prefilter.add(finals)
 
             # extraction input: permitted pages that matched a corpus
             # document (only those can yield links; the corpus_hit guard
@@ -650,13 +649,34 @@ class SparkCrawler:
                 self.prefilter is not None
                 and next_order >= cfg.prefilter_min_seen
             )
-            if engaged and bank_lagging:
-                # first engagement: bulk-sync the bank from the full seen
-                # set (one cogroup pass ≈ one anti-join's worth of work,
-                # paid once) — cheaper than per-wave maintenance on every
-                # crawl that never engages
-                self.prefilter.add(seen)
-                bank_lagging = False
+            if engaged:
+                if bank_lagging:
+                    # first engagement: bulk-sync the bank from the full
+                    # seen set (one cogroup pass ≈ one anti-join's worth
+                    # of work, paid once) — cheaper than per-wave
+                    # maintenance on every crawl that never engages
+                    self.prefilter.add(seen)
+                    bank_lagging = False
+                    bank_synced_parts = len(seen_parts)
+                elif (
+                    len(seen_parts) - bank_synced_parts
+                    >= max(cfg.bank_sync_every, 1)
+                ):
+                    # amortized maintenance: fold the accumulated
+                    # un-synced parts in (one cogroup + publish) instead
+                    # of paying two bank jobs every wave
+                    unsynced = seen_parts[bank_synced_parts]
+                    for p in seen_parts[bank_synced_parts + 1 :]:
+                        unsynced = unsynced.unionByName(p)
+                    self.prefilter.add(unsynced, key_col="link")
+                    bank_synced_parts = len(seen_parts)
+            # misses are definite only w.r.t. the bank's synced prefix —
+            # the un-synced residual parts (plus this wave's redirect
+            # finals) backstop them exactly, co-partitioned so the chain
+            # adds no exchange
+            backstop = seen_parts[bank_synced_parts:] if engaged else []
+            if wave_finals is not None:
+                backstop = backstop + [wave_finals]
             wave_parts = seen_parts + (
                 [wave_finals] if wave_finals is not None else []
             )
@@ -665,6 +685,7 @@ class SparkCrawler:
                 seen,
                 self.prefilter if engaged else None,
                 seen_parts=wave_parts,
+                miss_backstop=backstop,
             )
             # materialize BEFORE ordering: the ordering shuffle would
             # otherwise recompute the whole extract→dedup pipeline a
@@ -711,11 +732,9 @@ class SparkCrawler:
                     size_hint=n_cut * 16,
                 )
 
-            # with an actively-maintained bank, the add() right below is
-            # this wave's next action and materializes the lazy checkpoint
-            # (one fused job); otherwise stay eager — a lazy checkpoint
-            # would stack this wave's python stages into the next wave's
-            # first job
+            # eager: bank maintenance is amortized (it no longer
+            # materializes this lazily), and a lazy checkpoint would
+            # stack this wave's stages into the next wave's first job
             new_frontier = fresh.select(
                 F.col("link").alias("url"),
                 (
@@ -726,9 +745,7 @@ class SparkCrawler:
                 (F.col("parent_depth") + 1).alias("depth"),
                 "discovery_order",
                 F.col("parent").alias("parent"),
-            ).localCheckpoint(
-                eager=self.prefilter is None or bank_lagging
-            )
+            ).localCheckpoint()
             next_order += n_new
 
             _t_zip = _time.time()
@@ -760,8 +777,10 @@ class SparkCrawler:
                         self._n_part, "link"
                     ).localCheckpoint(eager=False)
                 ]
-            if self.prefilter is not None and not bank_lagging:
-                self.prefilter.add(new_frontier.select("url"))
+                # compaction renumbers the parts; the bank is re-synced
+                # from the merged part at the next amortized sync (bloom
+                # re-adds are idempotent)
+                bank_synced_parts = 0
 
             metrics.append(
                 {
@@ -801,7 +820,10 @@ class SparkCrawler:
                     "next_order": next_order,
                     "pages_counted": pages_counted,
                     "extra_internal": extra_internal,
-                    "bank_synced": not bank_lagging,
+                    # resume may trust the saved bank only if it covers
+                    # EVERY part (amortized maintenance can lag)
+                    "bank_synced": (not bank_lagging)
+                    and bank_synced_parts >= len(seen_parts),
                 }
                 self.store.append_wave_metrics(metrics[-1])
                 if limit_hit or wave % max(cfg.checkpoint_every, 1) == 0:

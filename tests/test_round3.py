@@ -244,6 +244,64 @@ class TestJaccardGuard:
         assert guarded[("d3", "d4")] == round(2 / 3, 6)
 
 
+class TestStaleBankBackstop:
+    def test_never_synced_bank_full_parity(self, spark, sample_site_corpus):
+        """Probe tier forced on from wave 0 with maintenance effectively
+        disabled (bank_sync_every huge): every candidate the stale bank
+        calls a definite miss must still be caught by the residual-part
+        backstop — exact order + seen parity."""
+        cfg = CrawlConfig(prefilter_min_seen=0, bank_sync_every=99)
+        docs = corpus_df(spark, sample_site_corpus)
+        res = SparkCrawler(spark, docs, cfg).crawl(fx.SAMPLE_SITE_BASE)
+        oracle = CrawlOracle(sample_site_corpus, cfg).crawl(
+            fx.SAMPLE_SITE_BASE
+        )
+        assert res.fetch_sequence() == oracle.fetch_sequence
+        assert {r["url"] for r in res.seen.collect()} == oracle.seen
+
+    def test_stale_bank_with_redirect_finals(self, spark):
+        corpus = fx.build_seed_redirect_corpus()
+        cfg = CrawlConfig(prefilter_min_seen=0, bank_sync_every=99)
+        docs = corpus_df(spark, corpus)
+        res = SparkCrawler(spark, docs, cfg).crawl(fx.SEED_REDIRECT_BASE)
+        oracle = CrawlOracle(corpus, cfg).crawl(fx.SEED_REDIRECT_BASE)
+        assert res.fetch_sequence() == oracle.fetch_sequence
+        assert {r["url"] for r in res.seen.collect()} == oracle.seen
+
+
+class TestSeenPartsEquivalence:
+    def test_chained_parts_match_single_anti(self, spark):
+        from pyspark.sql import functions as F
+
+        from cobweb_spark.operators.dedup import reject_seen
+
+        urls = [f"http://h{i % 5}.com/p{i}" for i in range(300)]
+        cands = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "link string, n int"
+        )
+        seen_urls = urls[:100] + urls[150:200]
+        seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+        parts = [
+            spark.createDataFrame(
+                [(u,) for u in chunk], "link string"
+            )
+            .repartition(4, "link")
+            .localCheckpoint()
+            for chunk in (seen_urls[:60], seen_urls[60:110], seen_urls[110:])
+        ]
+        plain = {
+            r["link"] for r in reject_seen(cands, seen).collect()
+        }
+        chained = {
+            r["link"]
+            for r in reject_seen(
+                cands, seen, seen_parts=parts
+            ).collect()
+        }
+        assert chained == plain
+        assert len(plain) == 150
+
+
 class TestMinuteRetention:
     def test_integer_virtual_minutes(self, spark):
         from cobweb_spark.operators.stats import minute_retention

@@ -81,8 +81,25 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
     # the executor JVMs (equal per-executor memory across configs). The
     # initial-heap pin must fit under the shrunken max.
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
-    env.setdefault("SPARK_GRAFT_DRIVER_OPTS", "-Xms8g")
-    env.setdefault("SPARK_GRAFT_EXECUTOR_OPTS", "-Xms4g")
+    # each JVM must BELIEVE it owns only its share of the pinned cores:
+    # without ActiveProcessorCount, every executor JVM sizes GC/netty
+    # thread pools to the whole affinity mask, and at 4 executors the
+    # threads (4×GC pools + 16 python workers + 16 task threads) pile
+    # onto the pinned set — python-heavy stages collapse on the HIGH
+    # config only, under-measuring efficiency.
+    if n_executors is not None:
+        cores_per = int(os.environ.get("COBWEB_SCALING_CORES_PER", "4"))
+        env.setdefault(
+            "SPARK_GRAFT_EXECUTOR_OPTS",
+            f"-Xms4g -XX:ActiveProcessorCount={cores_per}",
+        )
+        env.setdefault(
+            "SPARK_GRAFT_DRIVER_OPTS",
+            "-Xms8g -XX:ActiveProcessorCount=2",
+        )
+    else:
+        env.setdefault("SPARK_GRAFT_DRIVER_OPTS", "-Xms8g")
+        env.setdefault("SPARK_GRAFT_EXECUTOR_OPTS", "-Xms4g")
     code = CRAWL_ONLY % {
         "repo": REPO,
         "cpus": cpus,
