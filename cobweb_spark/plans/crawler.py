@@ -732,9 +732,12 @@ class SparkCrawler:
                     size_hint=n_cut * 16,
                 )
 
-            # eager: bank maintenance is amortized (it no longer
-            # materializes this lazily), and a lazy checkpoint would
-            # stack this wave's stages into the next wave's first job
+            # precompute path: lazy — the only deferred stages are the
+            # order-assignment mapInPandas and a projection (no Python
+            # UDFs left), and the next wave's first job materializes the
+            # checkpoint, saving one job per wave of the serial floor.
+            # spans path: eager — host_udf would otherwise stack a Python
+            # stage into the next wave's (already Python-heavy) first job
             new_frontier = fresh.select(
                 F.col("link").alias("url"),
                 (
@@ -745,7 +748,7 @@ class SparkCrawler:
                 (F.col("parent_depth") + 1).alias("depth"),
                 "discovery_order",
                 F.col("parent").alias("parent"),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=self._edges_sel is None)
             next_order += n_new
 
             _t_zip = _time.time()
