@@ -461,27 +461,21 @@ class SparkCrawler:
                 and cfg.first_page_redirect_internal
                 and bool(self._has_redirects)
             )
-            # redirect finals can only exist when the corpus has 3xx rows
-            # at all — skip the whole finals machinery (and its counts
-            # job) on redirect-free corpora
-            may_have_finals = cfg.mark_redirect_final_crawled and bool(
-                self._has_redirects
-            )
+            # finals (fetch_url != queued url) arise from redirects AND
+            # from canonicalization differences, so the machinery cannot
+            # be gated on 3xx presence; it is all lazy plan nodes (no
+            # driver job) — the bank no longer needs a finals count
+            # (finals ride the miss-backstop, maintenance is amortized)
+            may_have_finals = cfg.mark_redirect_final_crawled
             # the counts agg is a driver job — pay it only when something
-            # reads its outputs: limit bookkeeping, the first-page redirect
-            # probe, or the finals gate of an ACTIVE filter bank. Otherwise
-            # |cut| is already known (the fetch join is left-preserving and
-            # no limit cuts rows), and cut's lazy checkpoint materializes
-            # inside the expand job instead.
+            # reads its outputs: limit bookkeeping or the first-page
+            # redirect probe. Otherwise |cut| is already known (the fetch
+            # join is left-preserving and no limit cuts rows), and cut's
+            # lazy checkpoint materializes inside the expand job instead.
             need_counts = (
                 remaining is not None
                 or cfg.crawl_limit_by_page
                 or want_first_page
-                or (
-                    self.prefilter is not None
-                    and not bank_lagging
-                    and may_have_finals
-                )
             )
             n_finals = None
             if need_counts:
