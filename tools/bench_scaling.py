@@ -76,7 +76,12 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
         # local-cluster's [n,cores,mem] only caps the worker
         env.setdefault("SPARK_GRAFT_EXECUTOR_MEM", f"{mem_mb}m")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(cpus, 8))
+    # tasks-per-slot headroom: shuffle partitions at exactly slot count
+    # leave zero slack — one straggler idles its whole slot-wave. A small
+    # multiple (default 3×) lets AQE coalesce tiny stages while big waves
+    # load-balance; same factor at both sizes.
+    factor = int(os.environ.get("COBWEB_SCALING_PARTS_FACTOR", "3"))
+    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(max(cpus * factor, 8))
     # the driver does no heavy lifting in cluster mode; leave heap for
     # the executor JVMs (equal per-executor memory across configs). The
     # initial-heap pin must fit under the shrunken max.
