@@ -516,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_lsh_pairs"] = lambda spark, sf: textops.lsh_near_dup_pairs(
         _docs(spark, sf)
     )
+    # near-dup cluster resolution: connected components over the LSH pair
+    # graph (iterated min-label propagation), one keeper per component —
+    # the step a dedup pipeline consumes downstream of the pairs
+    q["dedup_cluster_keepers"] = lambda spark, sf: textops.cluster_keepers(
+        _docs(spark, sf)
+    )
     q["dedup_simhash"] = lambda spark, sf: textops.simhash(_docs(spark, sf))
     q["dedup_jaccard_pairs"] = lambda spark, sf: textops.jaccard_pairs(
         _docs(spark, sf), threshold=0.2
@@ -941,6 +947,36 @@ def oracle_sql() -> dict[str, str]:
         FROM stacked a JOIN stacked c
           ON a.band_id = c.band_id AND a.band_sig = c.band_sig
          AND a.doc_id < c.doc_id"""
+    # cluster keepers: the engine's min-label propagation fixpoint equals
+    # min-reachable-node; the oracle computes it as a recursive transitive
+    # closure over the same LSH pair graph (fine at oracle scale)
+    sql["dedup_cluster_keepers"] = f"""
+        WITH RECURSIVE toks AS ({TOKTABLE}),
+        sig AS (SELECT doc_id, {mh_exprs} FROM toks GROUP BY doc_id),
+        banded AS (SELECT doc_id, {band_select} FROM sig),
+        stacked AS ({band_union}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM stacked a JOIN stacked c
+              ON a.band_id = c.band_id AND a.band_sig = c.band_sig
+             AND a.doc_id < c.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (
+            SELECT s AS doc_id, least(s, min(d)) AS keeper
+            FROM reach GROUP BY s
+        )
+        SELECT dd.doc_id, coalesce(comp.keeper, dd.doc_id) AS keeper
+        FROM documents dd LEFT JOIN comp USING (doc_id)"""
     bit_sums = ", ".join(
         f"sum(CASE WHEN ({H} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
         for b in range(SIMHASH_BITS)

@@ -219,6 +219,103 @@ def lsh_near_dup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    Iterated min-label propagation in a bounded driver loop (the same
+    feedback shape as the crawler's redirect-chain loop): each round every
+    node takes the minimum of its own label and its neighbors' labels —
+    one co-partitioned join + map-side-combined groupBy per round,
+    converging in O(component diameter) rounds. Near-dup clusters are
+    near-cliques (diameter ≲ 3), so this terminates in a handful of
+    rounds; the per-round work is two equi-joins over the edge list, the
+    100 TB-safe shape (no driver-side graph). Returns (node, keeper)
+    for every node that appears in an edge; keeper is the component's
+    minimum node id. Raises if ``max_iters`` rounds don't reach the
+    fixpoint (components deeper than max_iters — not a near-dup shape).
+    """
+    both = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    # the edge list is reused every round: partition once on the probe key
+    both = both.repartition("d").localCheckpoint()
+    labels = (
+        both.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("keeper", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("d"),
+                    F.col("keeper").alias("d_keeper"),
+                ),
+                "d",
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("d_keeper").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("keeper"),
+                    F.coalesce("nbr_min", F.col("keeper")),
+                ).alias("keeper"),
+                (
+                    F.coalesce("nbr_min", F.col("keeper"))
+                    < F.col("keeper")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iters} rounds"
+    )
+
+
+def cluster_keepers(
+    documents: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup cluster resolution: the step after LSH pair generation
+    that a training-data dedup pipeline actually consumes. Connected
+    components over the ``lsh_near_dup_pairs`` graph; every document gets
+    (doc_id, keeper) where keeper is the minimum doc_id of its near-dup
+    component — documents in no pair keep themselves. Downstream dedup is
+    then ``filter(doc_id == keeper)``.
+    """
+    pairs = lsh_near_dup_pairs(documents, k, bands)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        documents.select("doc_id")
+        .join(
+            comps.select(F.col("node").alias("doc_id"), "keeper"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("keeper", F.col("doc_id")).alias("keeper"),
+        )
+    )
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over tokens: per-bit majority vote of token hashes."""
     th = _token_hashes(documents)
