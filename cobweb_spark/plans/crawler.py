@@ -541,6 +541,17 @@ class SparkCrawler:
                     n_frontier = 0
                 break
 
+            # within-wave cancellation (lib/cobweb_crawl_helper.rb:18-87:
+            # the reference destroys a crawl's in-flight jobs): the flag is
+            # re-checked between the fetch and expand jobs. Fetched-but-
+            # uncommitted work is discarded — no counter has been mutated
+            # and cut was never appended, so the drain seals the last full
+            # wave boundary and a resume replays this wave deterministically
+            # (identical final state, pinned in tests/test_round4.py).
+            if cancel is not None and cancel():
+                cancelled = True
+                break
+
             if cfg.crawl_limit_by_page:
                 pages_counted += counts_row["n_pages"] or 0
             else:

@@ -81,6 +81,7 @@ class SnapshotStore:
             )
         if filters_bank is not None:
             filters_bank.save(os.path.join(tmp, "filters"))
+        self._append_partition_lineage(wave_id, lineage)
 
         manifest = {
             "wave_id": wave_id,
@@ -195,6 +196,43 @@ class SnapshotStore:
 
     def load_wave_metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.dir, "wave_metrics"))
+
+    def _append_partition_lineage(
+        self, wave_id: int, lineage: dict
+    ) -> None:
+        """Publish the per-partition lineage (already computed for the
+        manifest) as rows of the queryable ``wave_partition_lineage``
+        table: (wave_id, table, partition, rows). Same driver-side
+        pyarrow append discipline as ``wave_metrics`` — atomic,
+        idempotent, wave-keyed."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            {
+                "wave_id": wave_id,
+                "table": tname,
+                "partition": e["partition"],
+                "rows": e["rows"],
+            }
+            for tname, entries in lineage.items()
+            for e in entries
+        ]
+        if not rows:
+            return
+        ldir = os.path.join(self.dir, "wave_partition_lineage")
+        os.makedirs(ldir, exist_ok=True)
+        final = os.path.join(ldir, f"wave-{wave_id:06d}.parquet")
+        if os.path.exists(final):
+            return
+        tmp = os.path.join(self.dir, f"_wl_tmp-{wave_id:06d}")
+        pq.write_table(pa.Table.from_pylist(rows), tmp)
+        os.replace(tmp, final)
+
+    def load_wave_partition_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.dir, "wave_partition_lineage")
+        )
 
     def latest_wave(self) -> int | None:
         marker = os.path.join(self.dir, "_LATEST")

@@ -71,6 +71,106 @@ class TestClusterKeepers:
         assert n_kept == n_components
 
 
+class TestWithinWaveCancel:
+    """Round-4 item 7: the cancel flag is re-checked between the fetch
+    and expand jobs INSIDE a wave (the reference destroys in-flight jobs,
+    lib/cobweb_crawl_helper.rb:18-87). The partial wave's fetched-but-
+    uncommitted work is discarded; resume replays it deterministically."""
+
+    def _run(self, spark, tmp_path, cancel_on_call):
+        from cobweb_spark.config import CrawlConfig
+        from cobweb_spark.plans.crawler import SparkCrawler
+        from cobweb_spark.plans.state import SnapshotStore
+        from cobweb_spark.sources.corpus import corpus_df
+        from cobweb_spark.testkit import fixtures as fx
+
+        corpus = fx.build_seed_redirect_corpus()
+        docs = corpus_df(spark, corpus)
+        cfg = CrawlConfig()
+        sdir = str(tmp_path / "st")
+        store = SnapshotStore(spark, sdir)
+        calls = {"n": 0}
+
+        def cancel():
+            calls["n"] += 1
+            return calls["n"] >= cancel_on_call if cancel_on_call else False
+
+        res = SparkCrawler(spark, docs, cfg, snapshot_store=store).crawl(
+            fx.SEED_REDIRECT_BASE, cancel=cancel
+        )
+        return corpus, docs, cfg, store, res
+
+    def test_midwave_cancel_drains_at_previous_boundary(
+        self, spark, tmp_path
+    ):
+        # the flag is polled twice per wave (loop head, then between
+        # fetch and expand): call 4 is wave 1's MID-wave poll, so the
+        # cancel lands after wave 1's fetch — that partial work must be
+        # discarded and the drain sealed at the wave-0 boundary
+        *_, store, res = self._run(spark, tmp_path, cancel_on_call=4)
+        assert store.latest_wave() == 0  # wave 1 partial work discarded
+        runs = store.load_crawl_runs().collect()
+        assert [r["current_status"] for r in runs] == ["Cancelled"]
+        # the partial wave contributed no pages
+        assert res.pages.filter("wave_id >= 1").count() == 0
+
+    def test_resume_after_midwave_cancel_identical(self, spark, tmp_path):
+        from cobweb_spark.plans.crawler import SparkCrawler
+        from cobweb_spark.testkit import fixtures as fx
+
+        corpus, docs, cfg, store, _ = self._run(
+            spark, tmp_path, cancel_on_call=4
+        )
+        resumed = SparkCrawler(
+            spark, docs, cfg, snapshot_store=store
+        ).crawl(fx.SEED_REDIRECT_BASE, resume=True)
+        baseline = SparkCrawler(spark, docs, cfg).crawl(
+            fx.SEED_REDIRECT_BASE
+        )
+        cols = ["url", "fetch_order", "status_code", "mime_type"]
+        got = sorted(map(tuple, resumed.pages.select(*cols).collect()))
+        want = sorted(map(tuple, baseline.pages.select(*cols).collect()))
+        assert got == want
+        assert sorted(
+            r["url"] for r in resumed.seen.collect()
+        ) == sorted(r["url"] for r in baseline.seen.collect())
+
+
+class TestWavePartitionLineage:
+    def test_lineage_table_matches_manifests(self, spark, tmp_path):
+        from cobweb_spark.config import CrawlConfig
+        from cobweb_spark.plans.crawler import SparkCrawler
+        from cobweb_spark.plans.state import SnapshotStore
+        from cobweb_spark.sources.corpus import corpus_df
+        from cobweb_spark.testkit import fixtures as fx
+
+        corpus = fx.build_seed_redirect_corpus()
+        docs = corpus_df(spark, corpus)
+        store = SnapshotStore(spark, str(tmp_path / "st"))
+        SparkCrawler(
+            spark, docs, CrawlConfig(), snapshot_store=store
+        ).crawl(fx.SEED_REDIRECT_BASE)
+        lin = store.load_wave_partition_lineage()
+        assert set(lin.columns) == {"wave_id", "table", "partition", "rows"}
+        # every committed wave's manifest lineage is present, row-for-row
+        latest = store.latest_wave()
+        for w in range(latest + 1):
+            man = store.load_manifest(w)
+            n_manifest = sum(
+                len(v) for v in man["lineage"].values()
+            )
+            assert (
+                lin.filter(F.col("wave_id") == w).count() == n_manifest
+            )
+        # and the lineage row counts reconcile with the stored tables
+        pages_rows = (
+            lin.filter("wave_id = %d AND table = 'pages'" % latest)
+            .agg(F.sum("rows"))
+            .collect()[0][0]
+        )
+        assert pages_rows == store.load_table(latest, "pages").count()
+
+
 class TestAnnRecall:
     """ANN quality, measured instead of assumed (round-4 brief item 6).
 
