@@ -111,6 +111,38 @@ def main() -> dict:
         c3.crawl(None).pages.count()
         timings["crawl_scale_noprefilter"] = round(time.time() - t0, 3)
         c3.close()
+
+    # streaming-spans config: per-wave extraction from the span scan, no
+    # precomputed edge table — the honest shape for crawling a slice of a
+    # 100 TB corpus (you never pre-extract the whole corpus). Recorded
+    # alongside the headline so the driver record carries BOTH configs.
+    stream_runs = []
+    if os.environ.get("COBWEB_BENCH_STREAM", "1") == "1":
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            cs = SparkCrawler(
+                spark, docs, cfg.with_(precompute_edges=False)
+            )
+            cs.crawl(None).pages.count()
+            stream_runs.append(round(time.time() - t0, 3))
+            cs.close()
+        timings["crawl_scale_stream"] = min(stream_runs)
+
+    # politeness config: per-host token budget enforced by the salted
+    # two-phase admit (operators/admit.py) — the north rule's politeness
+    # tier at bench scale, not just the 78-row parity test
+    polite_runs = []
+    polite_budget = int(os.environ.get("COBWEB_BENCH_POLITE_BUDGET", "500"))
+    if polite_budget > 0:
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            cp = SparkCrawler(
+                spark, docs, cfg.with_(host_budget=polite_budget)
+            )
+            cp.crawl(None).pages.count()
+            polite_runs.append(round(time.time() - t0, 3))
+            cp.close()
+        timings["crawl_scale_polite"] = min(polite_runs)
     # r1-compatible 8-seed run (same corpus, ramp-up-wave-dominated
     # workload) so BENCH_r01's number stays comparable across rounds
     if os.environ.get("COBWEB_BENCH_8SEED", "1") == "1":
@@ -125,8 +157,25 @@ def main() -> dict:
         c8.close()
     spark.catalog.clearCache()
 
-    # --- extraction-only throughput (links extracted/sec) ---
-    t0 = time.time()
+    # --- secondary operators: best-of-N like the headline (round-3
+    # verdict: single-shot secondaries flip-flopped with VM weather;
+    # every run is listed in `runs` so the record stays honest) ---
+    runs_log: dict[str, list[float]] = {
+        "crawl_scale": crawl_runs,
+        "crawl_scale_stream": stream_runs,
+        "crawl_scale_polite": polite_runs,
+    }
+
+    def timed(name: str, fn) -> None:
+        rs = []
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            fn()
+            rs.append(round(time.time() - t0, 3))
+        timings[name] = min(rs)
+        runs_log[name] = rs
+
+    # extraction-only throughput (links extracted/sec)
     ex_input = docs.select(
         F.col("doc_id").alias("parent"),
         F.col("doc_id").alias("parent_url"),
@@ -134,35 +183,58 @@ def main() -> dict:
         F.lit(0).alias("parent_depth"),
         "spans",
     )
-    n_links = extract_links(ex_input).count()
-    timings["extract_all_links"] = round(time.time() - t0, 3)
+    link_total = {}
+    timed(
+        "extract_all_links",
+        lambda: link_total.__setitem__(
+            "n", extract_links(ex_input).count()
+        ),
+    )
+    n_links = link_total["n"]
 
-    # --- training-data ops at SF_DIR ---
+    # training-data ops at SF_DIR
     sf_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sf_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     sf_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
 
-    t0 = time.time()
-    textops.minhash_signatures(sf_docs).agg(F.count(F.lit(1))).collect()
-    timings["dedup_minhash"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    textops.lsh_near_dup_pairs(sf_docs).count()
-    timings["dedup_lsh_pairs"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    textops.quality_scores(sf_docs).agg(F.avg("stopword_ratio")).collect()
-    timings["text_quality"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    similarity.cosine_topk(sf_emb, query_ids=[0, 1, 2, 3, 4], k=5).count()
-    timings["ann_cosine_topk"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    sf_events.groupBy(
-        F.date_trunc("minute", "ts"), "event_type"
-    ).count().count()
-    timings["events_minute_counts"] = round(time.time() - t0, 3)
+    timed(
+        "dedup_minhash",
+        lambda: textops.minhash_signatures(sf_docs)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "dedup_lsh_pairs",
+        lambda: textops.lsh_near_dup_pairs(sf_docs).count(),
+    )
+    timed(
+        "dedup_cluster_keepers",
+        lambda: textops.cluster_keepers(sf_docs).count(),
+    )
+    timed(
+        "text_quality",
+        lambda: textops.quality_scores(sf_docs)
+        .agg(F.avg("stopword_ratio"))
+        .collect(),
+    )
+    timed(
+        "ann_cosine_topk",
+        lambda: similarity.cosine_topk(
+            sf_emb, query_ids=[0, 1, 2, 3, 4], k=5
+        ).count(),
+    )
+    timed(
+        "ann_lsh_multitable",
+        lambda: similarity.lsh_ann_topk_multitable(
+            sf_emb, query_ids=[0, 1, 2, 3, 4], k=5, dim=64
+        ).count(),
+    )
+    timed(
+        "events_minute_counts",
+        lambda: sf_events.groupBy(F.date_trunc("minute", "ts"), "event_type")
+        .count()
+        .count(),
+    )
 
     out = {
         "metric": "urls_fetched_deduped_per_sec",
@@ -170,6 +242,7 @@ def main() -> dict:
         "unit": "urls/sec",
         "queries": timings,
         "sf": SF_DIR,
+        "runs": runs_log,
         "crawl": {
             "fetched": n_fetched,
             "seen": n_seen,
@@ -179,6 +252,7 @@ def main() -> dict:
             "corpus": SCALE_PARAMS,
             "cpus": CPUS,
             "politeness_budget": budget,
+            "polite_run_budget": polite_budget,
         },
     }
     print(json.dumps(out))

@@ -405,6 +405,11 @@ class SparkCrawler:
                 cancelled = True
                 break
             _t0 = _time.time()
+            # tag this wave's jobs (shows in the UI/event log; lets the
+            # scaling harness attribute stage metrics to waves exactly)
+            spark.sparkContext.setLocalProperty(
+                "spark.jobGroup.id", f"wave-{wave}"
+            )
             remaining = (
                 None
                 if cfg.crawl_limit is None

@@ -581,6 +581,32 @@ def build_scale_corpus_arrays(
     return tbl, seeds
 
 
+def scale_corpus_as_oracle_dict(**kw):
+    """The T4 scale corpus as an OracleDoc dict: lets the pure-Python
+    oracle crawl the same mid-size synthetic web graph the benchmarks use
+    (politeness-at-bench-shape parity, tests/test_round4.py). Returns
+    (corpus, seed_urls)."""
+    from ..oracle import OracleDoc
+
+    tbl, seeds = build_scale_corpus_arrays(**kw)
+    corpus = {}
+    for row in tbl.to_pylist():
+        corpus[row["doc_id"]] = OracleDoc(
+            doc_id=row["doc_id"],
+            spans=[
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in row["spans"]
+            ],
+            status_code=row["status_code"],
+            mime_type=row["mime_type"],
+            character_set=row["character_set"],
+            length=row["length"],
+            response_time=row["response_time"],
+            location=row["location"],
+        )
+    return corpus, seeds
+
+
 def write_scale_corpus(path: str, **kw) -> list[str]:
     import pyarrow.parquet as pq
 
