@@ -117,6 +117,27 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(8 * 1024 * 1024),
         )
+        # python-worker daemon with numpy/pandas/pyarrow preloaded before
+        # the first fork (cobweb_spark/pydaemon.py): worker respawns after
+        # unclean releases then cost a fork instead of a ~2s import storm.
+        # The executor-side Python must be able to import the module —
+        # PYTHONPATH carries the repo (sandbox) / the --py-files zip
+        # (cluster). SPARK_GRAFT_PY_DAEMON=pyspark.daemon reverts.
+        .config(
+            "spark.python.daemon.module",
+            os.environ.get("SPARK_GRAFT_PY_DAEMON", "cobweb_spark.pydaemon"),
+        )
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
