@@ -94,13 +94,18 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
     # config only, under-measuring efficiency.
     if n_executors is not None:
         cores_per = int(os.environ.get("COBWEB_SCALING_CORES_PER", "4"))
+        drv_n = (
+            int(os.environ.get("COBWEB_SCALING_DRIVER_CPUS", "4"))
+            if os.environ.get("COBWEB_SCALING_PIN", "split") == "split"
+            else int(os.environ.get("COBWEB_SCALING_DRIVER_CPUS", "2"))
+        )
         env.setdefault(
             "SPARK_GRAFT_EXECUTOR_OPTS",
             f"-Xms4g -XX:ActiveProcessorCount={cores_per}",
         )
         env.setdefault(
             "SPARK_GRAFT_DRIVER_OPTS",
-            "-Xms8g -XX:ActiveProcessorCount=2",
+            f"-Xms8g -XX:ActiveProcessorCount={drv_n}",
         )
     else:
         env.setdefault("SPARK_GRAFT_DRIVER_OPTS", "-Xms8g")
@@ -116,29 +121,64 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
     # other 28 physical cores, so the small config is silently
     # over-provisioned and N→4N efficiency is UNDER-measured (observed:
     # the 1-executor config beating the 4-executor config in steady-state
-    # waves). Pin each measurement to executor-cores + a fixed driver
-    # allowance (same in both configs, like a real cluster's separate
-    # driver node). COBWEB_SCALING_TASKSET=0 disables.
+    # waves). Modes (COBWEB_SCALING_PIN):
+    #   split (default) — executor JVMs + python workers pinned to
+    #     exactly `cpus` cores, the driver tree to its own fixed core set
+    #     (tools/pin_sidecar.py). This is the separate-driver-node model
+    #     a real cluster has. The round-3 "tree" mode pinned everything
+    #     to one mask of cpus+2, which gave the SMALL config 1.5
+    #     cores/slot vs the big config's 1.125 — executors borrowed the
+    #     driver's idle cores, under-measuring N→4N efficiency by
+    #     hardware asymmetry alone.
+    #   tree — the round-3 shared mask (kept for comparison).
+    #   off  — no pinning (COBWEB_SCALING_TASKSET=0 also maps here).
+    pin = os.environ.get("COBWEB_SCALING_PIN", "split")
+    if os.environ.get("COBWEB_SCALING_TASKSET", "1") == "0":
+        pin = "off"
     cmd = [sys.executable, "-c", code]
-    if os.environ.get("COBWEB_SCALING_TASKSET", "1") == "1":
+    sidecar = None
+    total = os.cpu_count() or cpus
+    if pin == "tree":
         driver_allow = int(os.environ.get("COBWEB_SCALING_DRIVER_CPUS", "2"))
-        n_cpus = min(cpus + driver_allow, os.cpu_count() or cpus)
+        n_cpus = min(cpus + driver_allow, total)
         cmd = ["taskset", "-c", f"0-{n_cpus - 1}"] + cmd
-    out = subprocess.run(
-        cmd,
-        env=env,
-        capture_output=True,
+    elif pin == "split":
+        drv_n = int(os.environ.get("COBWEB_SCALING_DRIVER_CPUS", "4"))
+        drv_mask = f"{total - drv_n}-{total - 1}"
+        exec_mask = f"0-{min(cpus, total - drv_n) - 1}"
+        # the parent (driver python + its JVM) starts on the driver set;
+        # the sidecar moves executor-side processes to the slot set as
+        # they appear (daemons are pinned before they fork workers)
+        cmd = ["taskset", "-c", drv_mask] + cmd
+    child = subprocess.Popen(
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True,
-        timeout=3600,
     )
-    for line in out.stdout.splitlines():
+    if pin == "split":
+        sidecar = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "pin_sidecar.py"),
+                str(child.pid),
+                exec_mask,
+                drv_mask,
+            ],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    try:
+        stdout, stderr = child.communicate(timeout=3600)
+    finally:
+        if sidecar is not None:
+            sidecar.terminate()
+    for line in stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(
         f"no RESULT line from local[{cpus}] run:\nSTDOUT:\n"
-        + out.stdout[-6000:]
+        + stdout[-6000:]
         + "\nSTDERR:\n"
-        + out.stderr[-6000:]
+        + stderr[-6000:]
     )
 
 
