@@ -52,10 +52,16 @@ def descendants(root: int) -> set[int]:
     return out
 
 
-EXEC_PATTERNS = (
-    "CoarseGrainedExecutorBackend",
-    "pyspark.daemon",
-    "pydaemon",
+# Executor-side process detection. NOTE: conf values appear verbatim on
+# the DRIVER JVM's command line (e.g. spark.python.daemon.module=
+# cobweb_spark.pydaemon), so bare substrings like "pydaemon" would
+# misclassify the driver — match the executor backend class and the
+# `python -m <daemon module>` launch form specifically.
+import re
+
+EXEC_RE = re.compile(
+    r"CoarseGrainedExecutorBackend"
+    r"|-m (?:pyspark\.daemon|cobweb_spark\.pydaemon)\b"
 )
 
 
@@ -68,11 +74,7 @@ def main(root_pid: int, exec_cpus: str, driver_cpus: str, interval: float):
             cl = cmdline(pid)
             if not cl:
                 continue
-            mask = (
-                exec_cpus
-                if any(p in cl for p in EXEC_PATTERNS)
-                else driver_cpus
-            )
+            mask = exec_cpus if EXEC_RE.search(cl) else driver_cpus
             if pinned.get(pid) == mask:
                 continue
             r = subprocess.run(
