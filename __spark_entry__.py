@@ -532,6 +532,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_ann_topk(
         _emb(spark, sf), query_ids=[0, 1, 2, 3, 4], k=5, dim=64
     )
+    # multi-table amplification (the production-recall ANN tier; recall
+    # floor pinned in tests/test_round4.py) — 4 tables here so the
+    # literal-hyperplane oracle SQL stays reasonable
+    q["ann_lsh_multitable"] = lambda spark, sf: (
+        similarity.lsh_ann_topk_multitable(
+            _emb(spark, sf),
+            query_ids=[0, 1, 2, 3, 4],
+            k=5,
+            dim=64,
+            n_tables=4,
+        )
+    )
 
     # --- events: per-minute time-series stats (lib/stats.rb:211-228) ---
     q["events_minute_counts"] = lambda spark, sf: (
@@ -1065,6 +1077,64 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM probes p JOIN buckets c ON p.p_bucket = c.bucket
             WHERE p.query_id <> c.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5"""
+
+    # multi-table sign-LSH ANN (4 independent tables, candidate union):
+    # per-table hyperplanes from the same md5 generator (seeds 7..10)
+    # emitted as literals; candidates deduped across tables before the
+    # exact ranking, mirroring lsh_ann_topk_multitable exactly
+    N_TABLES = 4
+    t_exprs = []
+    for t in range(N_TABLES):
+        tplanes = _hyperplanes(DIM, N_PLANES, seed=7 + t)
+        t_exprs.append(
+            " + ".join(
+                "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+                + ", ".join(repr(v) for v in plane)
+                + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+                for p, plane in enumerate(tplanes)
+            )
+        )
+    tbl_cols = ", ".join(
+        f"({e}) AS b{t}" for t, e in enumerate(t_exprs)
+    )
+    tbl_stack = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS table_id, b{t} AS bucket FROM mt_buckets"
+        for t in range(N_TABLES)
+    )
+    sql["ann_lsh_multitable"] = f"""
+        WITH mt_buckets AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb, {tbl_cols}
+            FROM embeddings
+        ), stacked AS ({tbl_stack}),
+        q AS (
+            SELECT vec_id AS query_id, emb AS q_emb,
+                   table_id, bucket AS q_bucket
+            FROM stacked WHERE vec_id IN (0, 1, 2, 3, 4)
+        ), probes AS (
+            SELECT query_id, table_id, xor(q_bucket, f.flip) AS p_bucket
+            FROM q CROSS JOIN (VALUES {flips}) f(flip)
+        ), cands AS (
+            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+            FROM probes p JOIN stacked c
+              ON p.table_id = c.table_id AND p.p_bucket = c.bucket
+            WHERE p.query_id <> c.vec_id
+        ), scored AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   round(list_dot_product(qe.emb, ne.emb) /
+                         (sqrt(list_dot_product(qe.emb, qe.emb)) *
+                          sqrt(list_dot_product(ne.emb, ne.emb))), 6)
+                       AS cosine
+            FROM cands cd
+            JOIN mt_buckets qe ON qe.vec_id = cd.query_id
+            JOIN mt_buckets ne ON ne.vec_id = cd.neighbor_id
         ), ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id
