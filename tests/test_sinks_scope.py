@@ -118,7 +118,9 @@ class TestHooks:
 
         def cancel():
             calls.append(1)
-            return len(calls) > 2  # cancel before wave 2
+            # the flag is polled twice per wave since round 4 (loop head
+            # + between fetch and expand); call 5 is wave 2's head poll
+            return len(calls) >= 5  # cancel before wave 2
 
         res = SparkCrawler(spark, docs, CrawlConfig()).crawl(
             BASE, cancel=cancel
