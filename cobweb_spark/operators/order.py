@@ -96,14 +96,20 @@ def zip_with_order_bucketed(
     the task, and each bucket group numbers independently. One shuffle +
     one tiny count job; determinism holds because the sort key is unique.
     """
-    spark = df.sparkSession
-    d = (
-        df.withColumn("__bkt", bucket_col.cast("int"))
-        .repartition(n_buckets, "__bkt")
-        .sortWithinPartitions("__bkt", *sort_cols)
-        .localCheckpoint(eager=False)
+    from pyspark.sql import Window
+
+    # Round 4: numbering is entirely JVM-side. The previous construction
+    # round-tripped every new-frontier row through a pandas worker per
+    # wave; now the bucket counts come from one map-side-combined agg
+    # (shuffles n_buckets rows, not the data), the per-bucket offsets
+    # ride in as a literal map expression, and one bucket-partitioned
+    # window (its shuffle+sort is the analogue of the old repartition)
+    # assigns row_number in whole-stage codegen.
+    counts = (
+        df.groupBy(bucket_col.cast("int").alias("__bkt"))
+        .count()
+        .collect()
     )
-    counts = d.groupBy("__bkt").count().collect()
     by_bkt = {r["__bkt"]: r["count"] for r in counts}
     offsets = {}
     acc = start
@@ -111,29 +117,21 @@ def zip_with_order_bucketed(
         offsets[b] = acc
         acc += by_bkt[b]
     total = acc - start
-    bc = spark.sparkContext.broadcast(offsets)
 
-    schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    w = Window.partitionBy("__bkt").orderBy(*sort_cols)
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
+        )
+        off_expr = F.element_at(off_map, F.col("__bkt"))
+    else:
+        off_expr = F.lit(start)
+    out = (
+        df.withColumn("__bkt", bucket_col.cast("int"))
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + off_expr).cast("long"),
+        )
+        .drop("__bkt")
     )
-
-    def add_order(iterator):
-        taken: dict[int, int] = {}
-        for pdf in iterator:
-            base = np.empty(len(pdf), dtype=np.int64)
-            pos = 0
-            for b, grp in pdf.groupby("__bkt", sort=False):
-                off = bc.value[int(b)] + taken.get(int(b), 0)
-                base[pos : pos + len(grp)] = np.arange(
-                    off, off + len(grp), dtype=np.int64
-                )
-                taken[int(b)] = taken.get(int(b), 0) + len(grp)
-                pos += len(grp)
-            pdf = pdf.copy()
-            pdf[out_col] = base
-            yield pdf.drop(columns=["__bkt"])
-
-    out_schema = T.StructType(
-        [f for f in schema.fields if f.name != "__bkt"]
-    )
-    return d.mapInPandas(add_order, out_schema), total
+    return out, total
