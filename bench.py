@@ -130,11 +130,18 @@ def main() -> dict:
 
     # politeness config: per-host token budget enforced by the salted
     # two-phase admit (operators/admit.py) — the north rule's politeness
-    # tier at bench scale, not just the 78-row parity test
+    # tier at bench scale, not just the 78-row parity test. Budget 5000
+    # rate-limits the 25k-page mega-host across ~5 extra waves (budget
+    # 500 was measured at 715-847s/run — a 50-wave crawl of wave-floor,
+    # not an operator measurement); single-shot because the crawl is
+    # politeness-wave-bound, not variance-bound.
     polite_runs = []
-    polite_budget = int(os.environ.get("COBWEB_BENCH_POLITE_BUDGET", "500"))
+    polite_budget = int(
+        os.environ.get("COBWEB_BENCH_POLITE_BUDGET", "5000")
+    )
     if polite_budget > 0:
-        for _ in range(max(repeats, 1)):
+        for _ in range(max(int(os.environ.get(
+                "COBWEB_BENCH_POLITE_REPEATS", "1")), 1)):
             t0 = time.time()
             cp = SparkCrawler(
                 spark, docs, cfg.with_(host_budget=polite_budget)
