@@ -82,7 +82,6 @@ def zip_with_order_bucketed(
     sort_cols: list[str],
     out_col: str,
     bucket_col,
-    n_buckets: int,
     start: int = 0,
 ) -> tuple[DataFrame, int]:
     """``zip_with_order`` without the range-partitioner SAMPLING job, for
@@ -90,26 +89,21 @@ def zip_with_order_bucketed(
     the wave loop knows the exact ``parent_fetch_order`` range).
 
     ``bucket_col`` must be monotone in the ``sort_cols`` order (rows of a
-    lower sort key never land in a higher bucket). Hash-repartitioning on
-    the bucket id may co-locate several buckets in one task — harmless:
-    offsets are per *bucket*, rows are sorted by (bucket, sort key) within
-    the task, and each bucket group numbers independently. One shuffle +
-    one tiny count job; determinism holds because the sort key is unique.
+    lower sort key never land in a higher bucket). Numbering is entirely
+    JVM-side: bucket counts come from one map-side-combined agg (shuffles
+    n_buckets rows, not the data), the per-bucket offsets ride in as a
+    literal map expression, and one bucket-partitioned window assigns
+    row_number in whole-stage codegen. The input is localCheckpoint'ed
+    (lazy) ONCE so the counts job and the window job read the same
+    materialization — without the pin each would recompute the upstream
+    plan independently, and any recompute divergence would desynchronize
+    offsets from row_number (overlapping or gapped sequence values).
     """
     from pyspark.sql import Window
 
-    # Round 4: numbering is entirely JVM-side. The previous construction
-    # round-tripped every new-frontier row through a pandas worker per
-    # wave; now the bucket counts come from one map-side-combined agg
-    # (shuffles n_buckets rows, not the data), the per-bucket offsets
-    # ride in as a literal map expression, and one bucket-partitioned
-    # window (its shuffle+sort is the analogue of the old repartition)
-    # assigns row_number in whole-stage codegen.
-    counts = (
-        df.groupBy(bucket_col.cast("int").alias("__bkt"))
-        .count()
-        .collect()
-    )
+    df = df.withColumn("__bkt", bucket_col.cast("int"))
+    df = df.localCheckpoint(eager=False)
+    counts = df.groupBy("__bkt").count().collect()
     by_bkt = {r["__bkt"]: r["count"] for r in counts}
     offsets = {}
     acc = start
@@ -126,12 +120,8 @@ def zip_with_order_bucketed(
         off_expr = F.element_at(off_map, F.col("__bkt"))
     else:
         off_expr = F.lit(start)
-    out = (
-        df.withColumn("__bkt", bucket_col.cast("int"))
-        .withColumn(
-            out_col,
-            (F.row_number().over(w) - 1 + off_expr).cast("long"),
-        )
-        .drop("__bkt")
-    )
+    out = df.withColumn(
+        out_col,
+        (F.row_number().over(w) - 1 + off_expr).cast("long"),
+    ).drop("__bkt")
     return out, total

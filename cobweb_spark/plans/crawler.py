@@ -730,7 +730,6 @@ class SparkCrawler:
                     ["parent_fetch_order", "position"],
                     "discovery_order",
                     bucket_col=bucket,
-                    n_buckets=n_buckets,
                     start=next_order,
                 )
             else:
@@ -866,6 +865,10 @@ class SparkCrawler:
             if limit_hit:
                 break
             wave += 1
+
+        # post-loop drain/commit/result jobs get their own group so the
+        # event log doesn't attribute them to the final wave
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", "drain")
 
         def _union(parts: list[DataFrame], proto: DataFrame) -> DataFrame:
             if not parts:

@@ -81,7 +81,6 @@ class SnapshotStore:
             )
         if filters_bank is not None:
             filters_bank.save(os.path.join(tmp, "filters"))
-        self._append_partition_lineage(wave_id, lineage)
 
         manifest = {
             "wave_id": wave_id,
@@ -100,6 +99,11 @@ class SnapshotStore:
         if os.path.exists(wdir):
             shutil.rmtree(wdir)
         os.rename(tmp, wdir)
+        # lineage is published only AFTER the wave commit is durable, and
+        # overwrites any prior row set for this wave, so a recommit (crash
+        # between append and rename, or a re-crawl into an existing store)
+        # can never leave lineage rows that disagree with the manifest.
+        self._append_partition_lineage(wave_id, lineage)
         latest_tmp = os.path.join(self.dir, "_LATEST.tmp")
         with open(latest_tmp, "w") as f:
             f.write(str(wave_id))
@@ -203,8 +207,10 @@ class SnapshotStore:
         """Publish the per-partition lineage (already computed for the
         manifest) as rows of the queryable ``wave_partition_lineage``
         table: (wave_id, table, partition, rows). Same driver-side
-        pyarrow append discipline as ``wave_metrics`` — atomic,
-        idempotent, wave-keyed."""
+        pyarrow write discipline as ``wave_metrics`` — atomic via
+        os.replace, wave-keyed. Called after the wave rename commits, and
+        OVERWRITES any existing file for the wave so a recommitted wave's
+        lineage always matches its committed manifest."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -223,8 +229,6 @@ class SnapshotStore:
         ldir = os.path.join(self.dir, "wave_partition_lineage")
         os.makedirs(ldir, exist_ok=True)
         final = os.path.join(ldir, f"wave-{wave_id:06d}.parquet")
-        if os.path.exists(final):
-            return
         tmp = os.path.join(self.dir, f"_wl_tmp-{wave_id:06d}")
         pq.write_table(pa.Table.from_pylist(rows), tmp)
         os.replace(tmp, final)

@@ -16,13 +16,36 @@ respawn costs just the fork. Wired up via the standard public knob
 the module must be importable by the executor-side Python — in the
 sandbox via ``spark.executorEnv.PYTHONPATH``, on a real cluster via the
 ``--py-files`` zip already on the worker path.
+
+Fork-safety: forking a process that already started threads can deadlock
+the children, and BLAS/OpenMP pools are the usual culprits. Two
+mitigations here: (1) thread-pool env caps are set to 1 BEFORE importing
+numpy, so its BLAS backend never spins up a pool in the daemon (workers
+run one-per-core anyway — a per-worker BLAS pool would oversubscribe);
+(2) only numpy and pandas are preloaded — pyarrow is deliberately NOT
+imported, because it may start background IO/jemalloc threads at import
+time, and measurement showed numpy+pandas are ~85% of the import storm
+(pyarrow itself imports in ~0.2s once numpy is warm). If a deployment
+still trips a fork issue, set ``SPARK_GRAFT_PY_DAEMON=pyspark.daemon``
+before building the session to fall back to the stock daemon
+(see ``session.get_spark``).
 """
 
-import numpy  # noqa: F401  (preload: inherited by forked workers)
-import pandas  # noqa: F401
-import pyarrow  # noqa: F401
+import os
 
-from pyspark.daemon import manager
+# Cap BLAS/OpenMP pools before numpy import: no pre-fork thread creation.
+for _v in (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+):
+    os.environ.setdefault(_v, "1")
+
+import numpy  # noqa: F401,E402  (preload: inherited by forked workers)
+import pandas  # noqa: F401,E402
+
+from pyspark.daemon import manager  # noqa: E402
 
 if __name__ == "__main__":
     manager()

@@ -168,6 +168,12 @@ def run_at(cpus: int, params: dict, n_executors: int | None = None) -> dict:
         )
     try:
         stdout, stderr = child.communicate(timeout=3600)
+    except subprocess.TimeoutExpired:
+        # mirror subprocess.run semantics: kill + reap the hung child so
+        # no Spark process tree (and its taskset pins) leaks on the host
+        child.kill()
+        child.communicate()
+        raise
     finally:
         if sidecar is not None:
             sidecar.terminate()
