@@ -50,11 +50,19 @@ _REPORT_SCHEMA = (
 # table ignores
 _CUSTOM_TAGS = {"video_src": [("media_links", 5, 0)]}
 
+# memory-sink query names must be unique per start() within a session
+_STREAM_SEQ = [0]
+
+
+def _uniq_qname(prefix: str) -> str:
+    _STREAM_SEQ[0] += 1
+    return f"{prefix}_{_STREAM_SEQ[0]}"
+
 # ---------------------------------------------------------------------------
 # fixture + golden generation (pure Python / pyarrow; idempotent)
 # ---------------------------------------------------------------------------
 
-_MANIFEST_VERSION = 3
+_MANIFEST_VERSION = 4
 
 # crawl-fixture matrix: key → (corpus name, config overrides). Base URLs
 # and robots come from the corpus entry below.
@@ -578,6 +586,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), threshold=0.2, max_df=50
     )
 
+    # benchmark-contamination: distinct 13-gram overlap vs a broadcast
+    # benchmark set (deterministic subset doc_id % 20 == 7 stands in for
+    # the eval-benchmark table)
+    q["text_contamination"] = lambda spark, sf: textops.contamination_check(
+        _docs(spark, sf),
+        _docs(spark, sf).filter(F.col("doc_id") % 20 == 7),
+        n=13,
+    )
+    # Gopher-style repetition signals (dup-word mass, top 2/3-gram
+    # character fractions) — all JVM expressions
+    q["text_repetition"] = lambda spark, sf: textops.repetition_signals(
+        _docs(spark, sf)
+    )
+    # sub-document (segment) dedup: corpus-wide fingerprint groupBy over
+    # 10-token chunks (the CCNet/RefinedWeb line-dedup tier; this corpus
+    # has no newlines, so the chunk segmenter stands in for lines)
+    q["dedup_segments"] = lambda spark, sf: textops.segment_dedup(
+        _docs(spark, sf)
+    )
+    # SemDeDup-shaped embedding dedup: multi-table LSH candidate pairs,
+    # exact-cosine threshold, connected-components keeper per cluster
+    q["dedup_semantic_keepers"] = lambda spark, sf: (
+        similarity.semantic_dedup_keepers(
+            _emb(spark, sf), threshold=0.4, n_planes=6, n_tables=4, dim=64
+        )
+    )
+
+    # --- Structured Streaming tier, drained deterministically: the same
+    # static parquet feed under an availableNow trigger — the streaming
+    # modules' first driver CORRECTNESS rows (previously pytest-only) ---
+    def _stream_feed_dir(sf: str) -> str:
+        # the file stream source requires a DIRECTORY; stage the static
+        # events parquet into one via symlink (idempotent, never writes
+        # to the read-only sf dir)
+        src = os.path.abspath(f"{sf}/events.parquet")
+        d = os.path.join(
+            CACHE, "streams", os.path.basename(os.path.dirname(src))
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        return d
+
+    def _stream_minute_counts(spark, sf):
+        from cobweb_spark.streaming.metrics import (
+            minute_counts_stream,
+            run_available_now,
+        )
+
+        path = _stream_feed_dir(sf)
+        schema = spark.read.parquet(path).schema
+        agg = minute_counts_stream(
+            spark, path, schema, group_col="event_type"
+        )
+        return run_available_now(agg, query_name=_uniq_qname("smc"))
+
+    q["streaming_minute_counts"] = _stream_minute_counts
+
+    def _stream_dedup(spark, sf):
+        from cobweb_spark.streaming.frontier_feed import (
+            dedup_within_watermark,
+            run_available_now_append,
+        )
+
+        path = _stream_feed_dir(sf)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        # deterministic URL feed derived from the events table; the
+        # horizon exceeds the feed's 30-day span, so no state eviction
+        # occurs and the streaming output provably equals batch DISTINCT
+        urls = stream.select(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("user_id") % 20).cast("string"),
+                F.lit(".example/p"),
+                (F.col("event_id") % 200).cast("string"),
+            ).alias("url"),
+            "ts",
+        )
+        deduped = dedup_within_watermark(urls, horizon="87600 minutes")
+        return run_available_now_append(
+            deduped.select("url"), query_name=_uniq_qname("sdw")
+        )
+
+    q["streaming_dedup_watermark"] = _stream_dedup
+
     # --- top-k priority (crawl_limit analogue, TakeOrderedAndProject) ---
     q["topk_priority"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/orders.parquet")
@@ -871,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, r.media_ref, m.media_kind,
                CASE WHEN m.media_kind = 'image/png' THEN 'png'
                     WHEN m.media_kind = 'audio/wav' THEN 'wav'
+                    WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
                     ELSE 'unknown' END AS format,
                m.n_bytes, m.width, m.height, m.sample_rate, m.n_samples
         FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
@@ -1149,6 +1245,16 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
         FROM events GROUP BY 1, 2"""
 
+    sql["streaming_minute_counts"] = """
+        SELECT date_trunc('minute', ts) AS minute, event_type,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2"""
+
+    sql["streaming_dedup_watermark"] = """
+        SELECT DISTINCT 'http://h' || (user_id % 20) || '.example/p'
+               || (event_id % 200) AS url
+        FROM events"""
+
     sql["stats_minute_retention"] = """
         WITH series AS (
             SELECT date_trunc('minute', ts) AS minute,
@@ -1184,5 +1290,166 @@ def oracle_sql() -> dict[str, str]:
     sql["topk_priority"] = """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 100"""
+
+    # benchmark contamination: distinct 13-gram hashes per doc vs the
+    # benchmark subset's gram set (doc_id % 20 = 7), exactly mirroring
+    # textops.contamination_check
+    def gram_list(n: int, hashed: bool) -> str:
+        inner = f"array_to_string(list_slice(t, i, i + {n - 1}), ' ')"
+        if hashed:
+            inner = f"md5({inner})"
+        return (
+            f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+            f"i -> {inner})"
+        )
+
+    sql["text_contamination"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKENS} AS t FROM documents),
+        dg AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest({gram_list(13, True)}) AS g FROM toks
+            )
+        ),
+        bg AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest({gram_list(13, True)}) AS g FROM toks
+                WHERE doc_id % 20 = 7
+            )
+        ),
+        pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM dg
+               GROUP BY doc_id),
+        ov AS (SELECT doc_id, count(*)::BIGINT AS n_overlapping
+               FROM dg JOIN bg USING (g) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pd.n_grams, 0) AS n_grams,
+               coalesce(ov.n_overlapping, 0) AS n_overlapping,
+               round(coalesce(ov.n_overlapping, 0)
+                     / greatest(coalesce(pd.n_grams, 0), 1), 6)
+                   AS contamination
+        FROM documents d
+        LEFT JOIN pd USING (doc_id) LEFT JOIN ov USING (doc_id)"""
+
+    # Gopher-style repetition signals, mirroring textops.repetition_signals
+    def top_gram_cte(n: int, out: str) -> str:
+        return f"""(
+            SELECT doc_id, max(c * length(g)) AS {out} FROM (
+                SELECT doc_id, g, count(*)::BIGINT AS c FROM (
+                    SELECT doc_id, unnest({gram_list(n, False)}) AS g
+                    FROM toks
+                ) GROUP BY doc_id, g
+            ) WHERE c >= 2 GROUP BY doc_id)"""
+
+    sql["text_repetition"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKENS} AS t FROM documents),
+        ws AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   count(DISTINCT w)::BIGINT AS n_distinct_words
+            FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+            WHERE w <> '' GROUP BY doc_id
+        ),
+        g2 AS {top_gram_cte(2, "dup2_chars")},
+        g3 AS {top_gram_cte(3, "dup3_chars")}
+        SELECT d.doc_id,
+               coalesce(ws.n_words, 0) AS n_words,
+               round(1 - coalesce(ws.n_distinct_words, 0)
+                     / greatest(coalesce(ws.n_words, 0), 1), 6)
+                   AS dup_word_frac,
+               round(coalesce(g2.dup2_chars, 0)
+                     / greatest(length(d.text), 1), 6)
+                   AS top2gram_char_frac,
+               round(coalesce(g3.dup3_chars, 0)
+                     / greatest(length(d.text), 1), 6)
+                   AS top3gram_char_frac
+        FROM documents d
+        LEFT JOIN ws USING (doc_id)
+        LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)"""
+
+    # segment (10-token chunk) dedup, mirroring textops.segment_dedup
+    SEGS = (
+        "list_transform(range(0, ceil(len(t) / 10)::INT), "
+        "i -> md5(array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' ')))"
+    )
+    sql["dedup_segments"] = f"""
+        WITH toks AS (SELECT doc_id, {TOKENS} AS t FROM documents),
+        segs AS (
+            SELECT doc_id, unnest({SEGS}) AS fp FROM toks
+        ),
+        keep AS (
+            SELECT fp, min(doc_id) AS keeper, count(*)::BIGINT AS df
+            FROM segs GROUP BY fp
+        ),
+        pd AS (
+            SELECT s.doc_id, count(*)::BIGINT AS n_segments,
+                   sum(CASE WHEN k.keeper < s.doc_id THEN 1 ELSE 0
+                       END)::BIGINT AS n_dup_segments,
+                   max(k.df) AS max_segment_df
+            FROM segs s JOIN keep k USING (fp) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_segments, 0) AS n_segments,
+               coalesce(n_dup_segments, 0) AS n_dup_segments,
+               round(coalesce(n_dup_segments, 0)
+                     / greatest(coalesce(n_segments, 0), 1), 6) AS dup_frac,
+               coalesce(max_segment_df, 0) AS max_segment_df
+        FROM documents d LEFT JOIN pd USING (doc_id)"""
+
+    # SemDeDup keepers: 4-table 6-plane literal-hyperplane candidate
+    # pairs + exact-cosine threshold + recursive-closure components,
+    # mirroring similarity.semantic_dedup_keepers
+    SD_PLANES, SD_TABLES, SD_THRESH = 6, 4, 0.4
+    sd_exprs = []
+    for t in range(SD_TABLES):
+        tplanes = _hyperplanes(DIM, SD_PLANES, seed=7 + t)
+        sd_exprs.append(
+            " + ".join(
+                "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+                + ", ".join(repr(v) for v in plane)
+                + f"]) >= 0 THEN {1 << p} ELSE 0 END)"
+                for p, plane in enumerate(tplanes)
+            )
+        )
+    sd_cols = ", ".join(f"({e}) AS b{t}" for t, e in enumerate(sd_exprs))
+    sd_stack = " UNION ALL ".join(
+        f"SELECT vec_id, emb, {t} AS table_id, b{t} AS bucket FROM sd_b"
+        for t in range(SD_TABLES)
+    )
+    COS = (
+        "round(list_dot_product(ea.emb, eb.emb) / "
+        "(sqrt(list_dot_product(ea.emb, ea.emb)) * "
+        "sqrt(list_dot_product(eb.emb, eb.emb))), 6)"
+    )
+    sql["dedup_semantic_keepers"] = f"""
+        WITH RECURSIVE sd_b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb, {sd_cols}
+            FROM embeddings
+        ), stacked AS ({sd_stack}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+            FROM stacked a JOIN stacked c
+              ON a.table_id = c.table_id AND a.bucket = c.bucket
+             AND a.vec_id < c.vec_id
+        ),
+        pairs AS (
+            SELECT cd.vec_a, cd.vec_b FROM cand cd
+            JOIN sd_b ea ON ea.vec_id = cd.vec_a
+            JOIN sd_b eb ON eb.vec_id = cd.vec_b
+            WHERE {COS} >= {SD_THRESH}
+        ),
+        edges AS (
+            SELECT vec_a AS s, vec_b AS d FROM pairs
+            UNION
+            SELECT vec_b AS s, vec_a AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        comp AS (
+            SELECT s AS vec_id, least(s, min(d)) AS keeper
+            FROM reach GROUP BY s
+        )
+        SELECT e.vec_id, coalesce(comp.keeper, e.vec_id) AS keeper
+        FROM embeddings e LEFT JOIN comp USING (vec_id)"""
 
     return sql

@@ -137,6 +137,71 @@ def decode_wav_header(
     return sample_rate, n_channels, n_samples
 
 
+def encode_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """A structurally valid baseline JPEG (JFIF) byte stream with the
+    given dimensions in its SOF0 frame header.
+
+    Marker sequence is real (SOI, APP0/JFIF, DQT, SOF0, DHT, SOS, EOI)
+    and every segment length is correct, so any conforming header parser
+    reads the right dimensions; the entropy-coded scan data is
+    deterministic filler (0xFF bytes excluded, as the format requires
+    un-escaped) rather than a true DCT+Huffman encoding — this container
+    has no JPEG codec library, and the engine's decode surface for JPEG
+    is the header (see ``decode_jpeg_header``)."""
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0]) + bytes((i * 3 + 1) % 255 + 1 for i in range(64))
+    # SOF0: precision 8, height, width, 1 component (grayscale)
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    # minimal DC Huffman table: 16 zero counts + no symbols won't parse in
+    # real decoders; use one symbol of each of two lengths
+    dht = bytes([0x00]) + bytes([0, 1, 1] + [0] * 13) + bytes([0, 1])
+    sos_hdr = bytes([1, 1, 0x00]) + bytes([0, 63, 0])
+    scan = bytes(((seed + i * 131) & 0xFF) or 0x55 for i in range(64))
+    scan = scan.replace(b"\xff", b"\xfe")
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos_hdr)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOF0/SOF1/SOF2 frame header —
+    scan the marker stream from SOI; None if not a JPEG or no SOF
+    before the scan data."""
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / ext / progressive
+            if pos + 9 > len(payload):
+                return None
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return width, height
+        if marker == 0xDA:  # scan data starts — no SOF seen
+            return None
+        pos += 2 + length
+    return None
+
+
 def sniff_format(payload: bytes) -> str:
     """Magic-byte format sniff — a real decoder never trusts the file
     extension."""
@@ -146,4 +211,6 @@ def sniff_format(payload: bytes) -> str:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"

@@ -5,13 +5,14 @@ The reference carries binary bodies as Base64 strings in the content hash
 Here media is first-class: an opaque ``binary`` column plus typed metadata,
 processed by Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for PNG and WAV (pure-stdlib codecs,
+Decode is REAL for PNG, WAV and JPEG headers (pure-stdlib codecs,
 ``functions/media_codecs.py`` — format sniffed from magic bytes, never the
-extension): width/height from the IHDR chunk, sample_rate/channels/samples
-from the RIFF headers, plus a 16-bin byte histogram feature over the
-payload. Formats needing codec libraries absent from this container
-(JPEG/MP3/MP4) raise NotImplementedError under ``strict=True`` and emit
-null dimensions otherwise.
+extension): width/height from the PNG IHDR chunk or the JPEG SOF0/SOF2
+frame header, sample_rate/channels/samples from the RIFF headers, plus a
+16-bin byte histogram feature over the payload. Formats needing codec
+libraries absent from this container (MP3/MP4/GIF) raise
+NotImplementedError under ``strict=True`` and emit null dimensions
+otherwise.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.media_codecs import (
+    decode_jpeg_header,
     decode_png_header,
     decode_wav_header,
     sniff_format,
@@ -188,6 +190,10 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
                 fmt[i] = f
                 if f == "png":
                     wh = decode_png_header(b)
+                    if wh:
+                        widths[i], heights[i] = wh
+                elif f == "jpeg":
+                    wh = decode_jpeg_header(b)
                     if wh:
                         widths[i], heights[i] = wh
                 elif f == "wav":

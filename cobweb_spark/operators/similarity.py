@@ -272,3 +272,114 @@ def lsh_ann_topk_multitable(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by embedding cosine — the SemDeDup
+    shape: multi-table sign-LSH generates candidates (bucket equi-joins,
+    never all-pairs), exact cosine filters them at ``threshold``.
+
+    Fewer planes than the ANN tier (6 vs 8): pair generation wants
+    recall on moderately-similar pairs, and halving the bucket space
+    quadruples per-bucket collision probability at ~4× the candidate
+    fan-out — the explicit recall/cost trade. Approximate by design
+    (LSH can miss a pair); the DuckDB oracle mirrors the same tables,
+    so the check is exact over the same candidate set.
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
+
+    def bucket_expr(seed):
+        planes = _hyperplanes(dim, n_planes, seed=seed)
+        bucket = F.lit(0)
+        for p, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (_dot(F.col("embedding"), plane_col) >= 0).cast("int")
+            bucket = bucket + bit * F.lit(1 << p)
+        return bucket
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                bucket_expr(7 + t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = embeddings.select(
+        "vec_id", "embedding", F.explode(tables).alias("tb")
+    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "table_id",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "table_id",
+        "bucket",
+    )
+    # dedup across tables BEFORE the exact cosine: a pair colliding in
+    # several tables is scored once
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "emb_a", "vec_b", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_keepers(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-level near-dup resolution (SemDeDup): connected
+    components over the ``semantic_dedup_pairs`` graph, one keeper
+    (minimum vec_id) per semantic cluster; vectors in no pair keep
+    themselves. Reuses the same bounded min-label propagation as the
+    text dedup tier — the candidate generation, the verification and
+    the cluster resolution are all equi-join/groupBy shapes.
+    """
+    from .textops import connected_components
+
+    pairs = semantic_dedup_pairs(
+        embeddings, threshold, n_planes, n_tables, dim
+    )
+    comps = connected_components(pairs, src="vec_a", dst="vec_b")
+    return (
+        embeddings.select("vec_id")
+        .join(
+            comps.select(F.col("node").alias("vec_id"), "keeper"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("keeper", F.col("vec_id")).alias("keeper"),
+        )
+    )

@@ -396,3 +396,220 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
+
+
+def _word_ngrams(t, n: int):
+    """Array of space-joined word n-grams of token-array column ``t``.
+
+    Pure JVM expression (sequence + slice + concat_ws) — the guard keeps
+    Spark's ``sequence`` from generating a DESCENDING range when the doc
+    has fewer than n tokens (it would, silently)."""
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each document's distinct
+    word n-grams that appear in the ``benchmark`` table — the n-gram
+    decontamination pass every training-data pipeline runs before a model
+    sees the corpus (13-gram overlap is the common published convention).
+
+    Scale shape: document n-grams are hashed (md5) and DISTINCT'ed per
+    doc (one map-side-combinable pass); the benchmark n-gram set — small
+    by definition, benchmarks are thousands of documents, not billions —
+    is built once, DISTINCT'ed, and broadcast, so the overlap probe is a
+    broadcast semi-join with no shuffle of the corpus side. Output is one
+    row per document: (doc_id, n_grams, n_overlapping, contamination).
+    """
+    t = _tokens()
+    doc_grams = (
+        documents.select(
+            "doc_id", F.explode(_word_ngrams(t, n)).alias("gram")
+        )
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(t, n)).alias("gram"))
+        .select(F.md5("gram").alias("g"))
+        .distinct()
+    )
+    per_doc = doc_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlapping", F.lit(0)).alias("n_overlapping"),
+            F.round(
+                F.coalesce("n_overlapping", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, all JVM expressions:
+
+    * ``dup_word_frac``       — 1 − |distinct words| / |words| (the
+      within-document duplicate-token mass);
+    * ``top2gram_char_frac``  — max over repeated word 2-grams of
+      (count × gram chars) / doc chars;
+    * ``top3gram_char_frac``  — same over word 3-grams.
+
+    Each signal is an explode → two-level map-side-combinable groupBy —
+    the partial-agg shape that holds at corpus scale (state per doc, not
+    per corpus). Documents with no repeated n-grams score 0.
+    """
+    t = _tokens()
+    base = documents.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    words = documents.select(
+        "doc_id", F.explode(t).alias("w")
+    ).where(F.col("w") != "")
+    word_stats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_distinct_words"),
+    )
+
+    def top_gram_chars(n: int, out: str) -> DataFrame:
+        grams = documents.select(
+            "doc_id", F.explode(_word_ngrams(t, n)).alias("g")
+        )
+        return (
+            grams.groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .groupBy("doc_id")
+            .agg(F.max(F.col("c") * F.length("g")).alias(out))
+        )
+
+    g2 = top_gram_chars(2, "dup2_chars")
+    g3 = top_gram_chars(3, "dup3_chars")
+    return (
+        base.join(word_stats, "doc_id", "left")
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(
+                F.lit(1)
+                - F.coalesce("n_distinct_words", F.lit(0))
+                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce("dup2_chars", F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("top2gram_char_frac"),
+            F.round(
+                F.coalesce("dup3_chars", F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("top3gram_char_frac"),
+        )
+    )
+
+
+def token_chunk_segments(w: int = 10):
+    """Segment-fingerprint array: md5 of each disjoint ``w``-token chunk.
+    The segmenter for corpora without newline structure; for real web
+    text pass ``line_segments()`` instead."""
+    t = _tokens()
+    return F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(t) / F.lit(w)).cast("int") - F.lit(1)
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i * w + 1, w))),
+    )
+
+
+def line_segments(text_col: str = "text"):
+    """Segment fingerprints from physical lines (the CCNet/RefinedWeb
+    unit): md5 of each whitespace-normalized non-empty line."""
+    lines = F.split(F.col(text_col), r"\n")
+    return F.transform(
+        F.filter(lines, lambda ln: F.trim(ln) != ""),
+        lambda ln: F.md5(F.regexp_replace(F.trim(ln), r"\s+", " ")),
+    )
+
+
+def segment_dedup(
+    documents: DataFrame,
+    segment_col=None,
+) -> DataFrame:
+    """Sub-document (line/paragraph) deduplication — the CCNet/RefinedWeb
+    tier between exact-document and MinHash dedup: fingerprint every
+    segment, group fingerprints ACROSS the corpus, and charge each
+    document for segments whose corpus-wide keeper (minimum doc_id) is a
+    different document. Downstream, a pipeline drops those segments; here
+    the per-document accounting is the queryable output:
+    (doc_id, n_segments, n_dup_segments, dup_frac, max_segment_df).
+
+    Scale shape: explode → one hash-partitioned groupBy on the segment
+    fingerprint (min/count are partial-aggregatable, map-side combined)
+    → co-partitioned join back on the fingerprint → per-doc groupBy.
+    No window functions, no driver state; boilerplate segments (the
+    hot keys) skew the fingerprint groupBy and are exactly what AQE
+    skew-split handles.
+    """
+    if segment_col is None:
+        segment_col = token_chunk_segments()
+    segs = documents.select(
+        "doc_id", F.explode(segment_col).alias("fp")
+    )
+    keepers = segs.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    per_doc = (
+        segs.join(keepers, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("keeper") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup_segments"),
+            F.max("df").alias("max_segment_df"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_dup_segments", F.lit(0)).alias(
+                "n_dup_segments"
+            ),
+            F.round(
+                F.coalesce("n_dup_segments", F.lit(0))
+                / F.greatest(F.coalesce("n_segments", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            F.coalesce("max_segment_df", F.lit(0)).alias("max_segment_df"),
+        )
+    )

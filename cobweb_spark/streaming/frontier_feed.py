@@ -100,3 +100,20 @@ def dedup_with_bloom_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_available_now_append(df: DataFrame, query_name: str) -> DataFrame:
+    """Drain an append-mode stream (e.g. the dedup tiers) into an
+    in-memory sink under an ``availableNow`` trigger and return the
+    accumulated rows as a batch DataFrame — the deterministic one-shot
+    harness the correctness gate runs (state lives only for the run;
+    a fixed input feed gives a fixed output table)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"select * from {query_name}")

@@ -621,16 +621,16 @@ def write_scale_corpus(path: str, **kw) -> list[str]:
 # media store: real PNG/WAV payload bytes with stored ground-truth metadata
 # ---------------------------------------------------------------------------
 def build_media_store_rows(refs: list[str]) -> list[dict]:
-    """One row per unique media_ref with a REAL encoded payload (PNG for
-    even-indexed refs, WAV for odd) and the generator's metadata stored
+    """One row per unique media_ref with a REAL encoded payload (cycling
+    PNG / WAV / JPEG by ref index) and the generator's metadata stored
     beside it — the DuckDB oracle reads the metadata, the Spark decoder
     parses the bytes; agreement proves the decode."""
-    from ..functions.media_codecs import encode_png, encode_wav
+    from ..functions.media_codecs import encode_jpeg, encode_png, encode_wav
 
     rows = []
     for i, ref in enumerate(sorted(set(refs))):
         h = zlib.crc32(ref.encode())
-        if i % 2 == 0:
+        if i % 3 == 0:
             w = 1 + h % 64
             ht = 1 + (h >> 8) % 64
             payload = encode_png(w, ht, seed=h)
@@ -639,6 +639,22 @@ def build_media_store_rows(refs: list[str]) -> list[dict]:
                     media_ref=ref,
                     payload=payload,
                     media_kind="image/png",
+                    n_bytes=len(payload),
+                    width=w,
+                    height=ht,
+                    sample_rate=None,
+                    n_samples=None,
+                )
+            )
+        elif i % 3 == 2:
+            w = 1 + h % 1024
+            ht = 1 + (h >> 10) % 1024
+            payload = encode_jpeg(w, ht, seed=h)
+            rows.append(
+                dict(
+                    media_ref=ref,
+                    payload=payload,
+                    media_kind="image/jpeg",
                     n_bytes=len(payload),
                     width=w,
                     height=ht,

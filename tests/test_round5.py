@@ -1,0 +1,245 @@
+"""Round-5 operators: contamination, repetition, segment dedup,
+semantic (embedding) dedup, JPEG header decode.
+
+Crafted-input goldens computed by hand — independent of the DuckDB
+oracle that the driver's CORRECTNESS gate runs over the sf tables.
+"""
+
+import math
+
+import pytest
+
+from cobweb_spark.operators import similarity, textops
+
+
+def _docs_df(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in sorted(texts.items())], "doc_id long, text string"
+    )
+
+
+class TestContamination:
+    def test_crafted_overlap_fractions(self, spark):
+        bench_text = "alpha beta gamma delta epsilon"
+        docs = _docs_df(
+            spark,
+            {
+                # identical to the benchmark doc -> contamination 1.0
+                0: bench_text,
+                # shares exactly one 3-gram ("beta gamma delta")
+                1: "zeta beta gamma delta eta theta",
+                # no shared 3-gram
+                2: "one two three four five six",
+                # too short for any 3-gram
+                3: "tiny doc",
+            },
+        )
+        bench = _docs_df(spark, {100: bench_text})
+        out = {
+            r["doc_id"]: r
+            for r in textops.contamination_check(docs, bench, n=3).collect()
+        }
+        assert out[0]["n_grams"] == 3 and out[0]["contamination"] == 1.0
+        assert out[1]["n_grams"] == 4 and out[1]["n_overlapping"] == 1
+        assert out[1]["contamination"] == 0.25
+        assert out[2]["n_overlapping"] == 0 and out[2]["contamination"] == 0.0
+        assert out[3]["n_grams"] == 0 and out[3]["contamination"] == 0.0
+
+    def test_duplicate_grams_counted_once(self, spark):
+        # doc repeats the contaminated 3-gram twice; distinct-gram
+        # accounting must not double-count it
+        docs = _docs_df(spark, {0: "a b c a b c a b"})
+        bench = _docs_df(spark, {1: "x a b c y"})
+        row = textops.contamination_check(docs, bench, n=3).collect()[0]
+        # doc 3-grams: abc bca cab abc (x2 distinct-> {abc,bca,cab,bab? })
+        # tokens: a b c a b c a b -> grams: abc bca cab abc bca cab -> 3 distinct
+        assert row["n_grams"] == 3
+        assert row["n_overlapping"] == 1  # only "a b c"
+        assert row["contamination"] == round(1 / 3, 6)
+
+
+class TestRepetition:
+    def test_crafted_signals(self, spark):
+        docs = _docs_df(
+            spark,
+            {
+                0: "x y x y x y",          # heavy 2-gram repetition
+                1: "all words unique here",  # no repetition
+                2: "a a a a",              # one word repeated
+            },
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textops.repetition_signals(docs).collect()
+        }
+        # doc 0: 6 words, 2 distinct -> dup_word_frac = 1 - 2/6
+        assert out[0]["dup_word_frac"] == round(1 - 2 / 6, 6)
+        # 2-grams: "x y","y x","x y","y x","x y" -> "x y" c=3 len=3 -> 9
+        # chars = len("x y x y x y") = 11
+        assert out[0]["top2gram_char_frac"] == round(9 / 11, 6)
+        # 3-grams: "x y x","y x y","x y x","y x y" -> best c=2 len=5 -> 10/11
+        assert out[0]["top3gram_char_frac"] == round(10 / 11, 6)
+        assert out[1]["dup_word_frac"] == 0.0
+        assert out[1]["top2gram_char_frac"] == 0.0
+        assert out[2]["dup_word_frac"] == 0.75
+        # "a a" c=3 len=3 -> 9 / 7 chars ("a a a a") capped? no cap: 9/7
+        assert out[2]["top2gram_char_frac"] == round(9 / 7, 6)
+
+
+class TestSegmentDedup:
+    def test_chunk_keeper_semantics(self, spark):
+        shared = "s1 s2 s3"  # one 3-token chunk shared corpus-wide
+        docs = _docs_df(
+            spark,
+            {
+                0: shared + " u1 u2 u3",   # keeper of the shared chunk
+                1: shared + " v1 v2 v3",   # duplicate -> 1 of 2 chunks dup
+                2: "w1 w2 w3 w4 w5 w6",    # untouched
+            },
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textops.segment_dedup(
+                docs, textops.token_chunk_segments(3)
+            ).collect()
+        }
+        assert out[0]["n_segments"] == 2 and out[0]["n_dup_segments"] == 0
+        assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+        assert out[1]["dup_frac"] == 0.5
+        assert out[1]["max_segment_df"] == 2
+        assert out[2]["n_dup_segments"] == 0 and out[2]["max_segment_df"] == 1
+
+    def test_line_segments(self, spark):
+        docs = _docs_df(
+            spark,
+            {
+                0: "common boilerplate line\nunique zero",
+                1: "common   boilerplate line\nunique one",  # ws-normalized dup
+                2: "nothing shared\n\n",  # empty lines dropped
+            },
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textops.segment_dedup(
+                docs, textops.line_segments()
+            ).collect()
+        }
+        assert out[0]["n_segments"] == 2 and out[0]["n_dup_segments"] == 0
+        assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+        assert out[2]["n_segments"] == 1
+
+
+class TestSemanticDedup:
+    def _emb_df(self, spark, dim=8):
+        # planted cluster: vectors 0,1,2 near-identical; 3,4 a second
+        # cluster; 5..14 spread out (deterministic, no RNG)
+        def unit(seed):
+            v = [
+                math.sin(0.7 * seed + 1.3 * d + 0.1) for d in range(dim)
+            ]
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        base_a, base_b = unit(1), unit(40)
+        rows = []
+        for i in range(3):
+            rows.append((i, [x + 0.01 * i for x in base_a]))
+        for i in range(3, 5):
+            rows.append((i, [x + 0.01 * i for x in base_b]))
+        for i in range(5, 15):
+            rows.append((i, unit(100 + 7 * i)))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_planted_clusters_merge(self, spark):
+        emb = self._emb_df(spark)
+        keepers = {
+            r["vec_id"]: r["keeper"]
+            for r in similarity.semantic_dedup_keepers(
+                emb, threshold=0.95, n_planes=4, n_tables=8, dim=8
+            ).collect()
+        }
+        assert len(keepers) == 15
+        # near-identical vectors share every LSH bucket -> must merge
+        assert keepers[0] == keepers[1] == keepers[2] == 0
+        assert keepers[3] == keepers[4] == 3
+
+    def test_keepers_match_unionfind_over_pairs(self, spark):
+        emb = self._emb_df(spark)
+        pairs = similarity.semantic_dedup_pairs(
+            emb, threshold=0.9, n_planes=4, n_tables=8, dim=8
+        ).collect()
+        # independent union-find over the same pair set
+        parent = {i: i for i in range(15)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            a, b = find(r["vec_a"]), find(r["vec_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        expect = {i: find(i) for i in range(15)}
+        got = {
+            r["vec_id"]: r["keeper"]
+            for r in similarity.semantic_dedup_keepers(
+                emb, threshold=0.9, n_planes=4, n_tables=8, dim=8
+            ).collect()
+        }
+        assert got == expect
+
+
+class TestJpegCodec:
+    def test_header_roundtrip(self):
+        from cobweb_spark.functions.media_codecs import (
+            decode_jpeg_header,
+            encode_jpeg,
+            sniff_format,
+        )
+
+        for w, h in [(1, 1), (17, 331), (1024, 768), (65000, 2)]:
+            payload = encode_jpeg(w, h, seed=w * 1000 + h)
+            assert sniff_format(payload) == "jpeg"
+            assert decode_jpeg_header(payload) == (w, h)
+
+    def test_not_jpeg(self):
+        from cobweb_spark.functions.media_codecs import (
+            decode_jpeg_header,
+            encode_png,
+        )
+
+        assert decode_jpeg_header(b"") is None
+        assert decode_jpeg_header(encode_png(4, 4)) is None
+        # SOI then scan with no SOF
+        assert decode_jpeg_header(b"\xff\xd8\xff\xda\x00\x04ab") is None
+
+    def test_store_fixture_cycles_formats_and_decodes(self, spark):
+        from cobweb_spark.operators.multimodal import (
+            MEDIA_STORE_SCHEMA,
+            decode_media,
+        )
+        from cobweb_spark.testkit import fixtures as fx
+
+        refs = [f"m{i}.bin" for i in range(6)]
+        rows = fx.build_media_store_rows(refs)
+        kinds = {r["media_kind"] for r in rows}
+        assert kinds == {"image/png", "audio/wav", "image/jpeg"}
+        store = spark.createDataFrame(rows, MEDIA_STORE_SCHEMA)
+        media = store.selectExpr(
+            "media_ref AS doc_id", "media_ref", "payload", "media_kind"
+        )
+        # strict mode: every cycled format now has a real decoder
+        out = {
+            r["media_ref"]: r
+            for r in decode_media(media, strict=True).collect()
+        }
+        by_ref = {r["media_ref"]: r for r in rows}
+        for ref in refs:
+            got, want = out[ref], by_ref[ref]
+            assert got["width"] == want["width"]
+            assert got["height"] == want["height"]
+            assert got["n_bytes"] == want["n_bytes"]
