@@ -133,15 +133,16 @@ def main() -> dict:
     # tier at bench scale, not just the 78-row parity test. Budget 5000
     # rate-limits the 25k-page mega-host across ~5 extra waves (budget
     # 500 was measured at 715-847s/run — a 50-wave crawl of wave-floor,
-    # not an operator measurement); single-shot because the crawl is
-    # politeness-wave-bound, not variance-bound.
+    # not an operator measurement). Best-of-2 like every other headline
+    # (round-4 verdict: the single-shot polite number was the one
+    # VM-weather loophole left in the record).
     polite_runs = []
     polite_budget = int(
         os.environ.get("COBWEB_BENCH_POLITE_BUDGET", "5000")
     )
     if polite_budget > 0:
         for _ in range(max(int(os.environ.get(
-                "COBWEB_BENCH_POLITE_REPEATS", "1")), 1)):
+                "COBWEB_BENCH_POLITE_REPEATS", "2")), 1)):
             t0 = time.time()
             cp = SparkCrawler(
                 spark, docs, cfg.with_(host_budget=polite_budget)

@@ -102,6 +102,16 @@ class CrawlConfig:
     # (nested-array scans per wave dominate otherwise); leave False when
     # crawling a small slice of a huge corpus.
     precompute_edges: bool = False
+    # slim expand path: key intra-wave dedup and seen-rejection on
+    # xxhash64(link) and store the seen-part LSM as 8-byte key frames —
+    # the dedup exchange key, the whole anti-join chain and the per-wave
+    # part build/checkpoint/scan all move fixed-width longs instead of
+    # URL strings. Key-based rejection is exact up to xxhash64
+    # collisions: E[colliding URL pairs] ≈ n²/2^65 ≈ 2.7 at n = 10^10
+    # (each collision suppresses at most one URL), zero in practice at
+    # sandbox scale — the same keying the north rule specifies for the
+    # bloom/cuckoo membership tier. Set False for string-exact mode.
+    slim_expand: bool = True
     # snapshot/resume
     state_dir: str | None = None
     checkpoint_every: int = 1  # waves between snapshot commits

@@ -161,7 +161,9 @@ def robots_gate(
     )
 
 
-def first_discovery_wins(candidates: DataFrame) -> DataFrame:
+def first_discovery_wins(
+    candidates: DataFrame, key_col: str = "link"
+) -> DataFrame:
     """Intra-wave dedup: the earliest (parent fetch order, position)
     discovery of a URL wins — the wave-model analogue of the reference's
     per-link re-check under lock (``lib/crawl.rb:132-138``).
@@ -171,13 +173,18 @@ def first_discovery_wins(candidates: DataFrame) -> DataFrame:
     combines them map-side so the shuffle carries ~unique links instead of
     every (parent, link) pair. Ties impossible — (parent_fetch_order,
     position) is unique.
+
+    ``key_col``: group on an 8-byte ``link_key`` (xxhash64) instead of
+    the URL string when the caller runs the slim expand path — the
+    exchange key shrinks ~6x and the downstream anti-join chain reuses
+    the same hash partitioning with no new exchange.
     """
-    cols = [c for c in candidates.columns if c != "link"]
-    packed = candidates.groupBy("link").agg(
+    cols = [c for c in candidates.columns if c != key_col]
+    packed = candidates.groupBy(key_col).agg(
         F.min_by(
             F.struct(*cols), F.struct("parent_fetch_order", "position")
         ).alias("__best")
     )
     return packed.select(
-        "link", *[F.col(f"__best.{c}").alias(c) for c in cols]
+        key_col, *[F.col(f"__best.{c}").alias(c) for c in cols]
     )

@@ -27,8 +27,12 @@ def reject_seen(
     materialize: bool = True,
     seen_parts: list[DataFrame] | None = None,
     miss_backstop: list[DataFrame] | None = None,
+    key_col: str = "link",
 ) -> DataFrame:
-    """candidates minus seen (on the queued-form URL string).
+    """candidates minus seen (on the queued-form URL string, or — slim
+    expand path — on its 8-byte xxhash64 ``link_key``, with seen parts
+    stored as key frames; see ``CrawlConfig.slim_expand`` for the
+    collision bound that keying trades for a ~6x smaller join payload).
 
     ``prefilter`` is an optional SeenFilterBank (bloom+cuckoo tier): when
     given, candidates are split into definite-misses (pass through —
@@ -56,20 +60,25 @@ def reject_seen(
     def chain(df: DataFrame, parts) -> DataFrame:
         out = df
         for p in parts:
-            out = out.join(p, "link", "left_anti")
+            out = out.join(p, key_col, "left_anti")
         return out
 
     def anti(df: DataFrame) -> DataFrame:
         if seen_parts:
             return chain(df, seen_parts)
-        return df.join(
-            seen.select(F.col("url").alias("link")), "link", "left_anti"
+        fallback = (
+            seen.select(F.col("url").alias("link"))
+            if key_col == "link"
+            else seen.select(F.xxhash64("url").alias(key_col))
         )
+        return df.join(fallback, key_col, "left_anti")
 
     if prefilter is None:
         return anti(candidates)
 
-    flagged = prefilter.mark_probable(candidates, key_col="link")
+    flagged = prefilter.mark_probable(
+        candidates, key_col=key_col, key_is_hash=key_col != "link"
+    )
     if materialize:
         flagged = flagged.localCheckpoint()
     misses = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")

@@ -124,14 +124,15 @@ class SeenFilterBank:
             shutil.rmtree(old, ignore_errors=True)
 
     # -- helpers -----------------------------------------------------------
-    def _keyed(self, df: DataFrame, key_col: str) -> DataFrame:
-        return df.withColumn(
-            "__key", F.xxhash64(F.col(key_col))
-        ).withColumn(
+    def _keyed(
+        self, df: DataFrame, key_col: str, key_is_hash: bool = False
+    ) -> DataFrame:
+        # key_is_hash: the column already IS the xxhash64 key (slim
+        # expand path) — don't hash the hash
+        key = F.col(key_col) if key_is_hash else F.xxhash64(F.col(key_col))
+        return df.withColumn("__key", key).withColumn(
             "__shard",
-            F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_shards)).cast(
-                "int"
-            ),
+            F.pmod(key, F.lit(self.n_shards)).cast("int"),
         )
 
     def _load_shard(self, fpdf: pd.DataFrame) -> ShardFilter:
@@ -153,9 +154,16 @@ class SeenFilterBank:
         shutil.rmtree(self._scratch, ignore_errors=True)
 
     # -- maintenance -------------------------------------------------------
-    def add(self, urls: DataFrame, key_col: str = "url") -> None:
+    def add(
+        self,
+        urls: DataFrame,
+        key_col: str = "url",
+        key_is_hash: bool = False,
+    ) -> None:
         """Fold new URLs into the per-shard filters (cogroup merge)."""
-        keyed = self._keyed(urls, key_col).select("__shard", "__key")
+        keyed = self._keyed(urls, key_col, key_is_hash).select(
+            "__shard", "__key"
+        )
         cap, fpp = self.capacity, self.fpp
 
         def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -208,7 +216,9 @@ class SeenFilterBank:
         cuckoo = max(1 << 8, self.capacity // 64) * 4 * 2
         return self.n_shards * (m // 8 + cuckoo)
 
-    def mark_probable(self, df: DataFrame, key_col: str) -> DataFrame:
+    def mark_probable(
+        self, df: DataFrame, key_col: str, key_is_hash: bool = False
+    ) -> DataFrame:
         """Append ``__maybe_seen`` boolean: False ⇒ definitely unseen.
 
         Small banks probe with a key-only Arrow UDF whose workers read the
@@ -244,10 +254,13 @@ class SeenFilterBank:
                     out[m] = sf.contains(k[m])
                 return pd.Series(out)
 
-            return df.withColumn(
-                "__maybe_seen", probe_keys(F.xxhash64(F.col(key_col)))
+            key = (
+                F.col(key_col)
+                if key_is_hash
+                else F.xxhash64(F.col(key_col))
             )
-        keyed = self._keyed(df, key_col)
+            return df.withColumn("__maybe_seen", probe_keys(key))
+        keyed = self._keyed(df, key_col, key_is_hash)
         out_schema = T.StructType(
             keyed.schema.fields + [T.StructField("__maybe_seen", T.BooleanType())]
         )

@@ -317,15 +317,28 @@ class SparkCrawler:
         edge_parts: list[DataFrame] = []
         metrics: list[dict] = []
 
+        # slim expand path (cfg.slim_expand): dedup + seen-rejection key
+        # on xxhash64(link); the LSM parts are 8-byte key frames and the
+        # parent-URL string never rides the expand shuffles (resolved
+        # from the wave's pages by fetch_order at frontier emission)
+        slim = bool(cfg.slim_expand)
+        part_col = "link_key" if slim else "link"
+
         def _as_part(df: DataFrame, col: str = "url") -> DataFrame:
-            """Hash-partition + checkpoint one seen part (column: link).
+            """Hash-partition + checkpoint one seen part (one column:
+            ``link`` string, or its 8-byte ``link_key`` in slim mode).
 
             The parts LSM: reject_seen chains left_anti joins over these,
             shuffling the candidate side once and the parts never (their
             partitioning survives the checkpoint)."""
+            proj = (
+                F.xxhash64(F.col(col)).alias("link_key")
+                if slim
+                else F.col(col).alias("link")
+            )
             return (
-                df.select(F.col(col).alias("link"))
-                .repartition(self._n_part, "link")
+                df.select(proj)
+                .repartition(self._n_part, part_col)
                 .localCheckpoint(eager=False)
             )
 
@@ -579,7 +592,11 @@ class SparkCrawler:
                 # (broadcast anti, no shuffle) — no per-wave bank add; the
                 # finals enter the bank at the next amortized sync via
                 # their seen part.
-                wave_finals = finals.select(F.col("url").alias("link"))
+                wave_finals = finals.select(
+                    F.xxhash64("url").alias("link_key")
+                    if slim
+                    else F.col("url").alias("link")
+                )
 
             # extraction input: permitted pages that matched a corpus
             # document (only those can yield links; the corpus_hit guard
@@ -648,8 +665,22 @@ class SparkCrawler:
             )
             # dedup BEFORE the anti-join: map-side combine collapses the
             # duplicate-heavy candidate stream to unique links, so the
-            # anti-join (and everything after) touches ~|new links| rows
-            fresh = first_discovery_wins(selected)
+            # anti-join (and everything after) touches ~|new links| rows.
+            # Slim mode: the dedup keys on the 8-byte link_key; the
+            # anti-join chain then reuses the dedup's hash partitioning
+            # with no exchange and probes 8-byte part frames. (Deferring
+            # the parent/link STRINGS out of the payload and re-resolving
+            # them by fetch_order at emission was tried and measured
+            # SLOWER: the resolution join adds a full exchange of the
+            # new-link stream, which outweighs the ~30-byte strings it
+            # removes — see BENCH/BASELINE.md round-5.)
+            if slim:
+                selected = selected.withColumn(
+                    "link_key", F.xxhash64("link")
+                )
+            fresh = first_discovery_wins(
+                selected, key_col="link_key" if slim else "link"
+            )
             # bloom tier engages once seen is big enough to out-cost the
             # probe (config.prefilter_min_seen); the bank itself is kept
             # current every wave either way, so engagement is seamless.
@@ -678,7 +709,9 @@ class SparkCrawler:
                     unsynced = seen_parts[bank_synced_parts]
                     for p in seen_parts[bank_synced_parts + 1 :]:
                         unsynced = unsynced.unionByName(p)
-                    self.prefilter.add(unsynced, key_col="link")
+                    self.prefilter.add(
+                        unsynced, key_col=part_col, key_is_hash=slim
+                    )
                     bank_synced_parts = len(seen_parts)
             # misses are definite only w.r.t. the bank's synced prefix —
             # the un-synced residual parts (plus this wave's redirect
@@ -696,7 +729,14 @@ class SparkCrawler:
                 self.prefilter if engaged else None,
                 seen_parts=wave_parts,
                 miss_backstop=backstop,
+                key_col=part_col,
             )
+            if slim:
+                # the key is dead weight after the chain: dropping it here
+                # keeps 8 incompressible bytes/row out of the ordering
+                # exchange and the frontier checkpoint (the part build
+                # re-derives it from the checkpointed frontier for free)
+                fresh = fresh.drop("link_key")
             # materialize BEFORE ordering: the ordering shuffle would
             # otherwise recompute the whole extract→dedup pipeline a
             # second time each wave. When the bloom tier is engaged,
@@ -771,14 +811,21 @@ class SparkCrawler:
             seen = seen.unionByName(new_frontier.select("url"))
             # append this wave's seen part (new links + redirect finals),
             # pre-partitioned on the join key so future waves' anti-joins
-            # stream it with no exchange; compact the LSM when it grows
-            part_src = new_frontier.select(F.col("url").alias("link"))
+            # stream it with no exchange; compact the LSM when it grows.
+            # Slim mode: parts hold 8-byte keys — the per-wave part
+            # build, checkpoint and every future chain scan move ~6x
+            # fewer bytes than URL-string frames
+            part_src = new_frontier.select(
+                F.xxhash64("url").alias("link_key")
+                if slim
+                else F.col("url").alias("link")
+            )
             if wave_finals is not None:
                 part_src = part_src.unionByName(wave_finals)
             seen_parts.append(
-                part_src.repartition(self._n_part, "link").localCheckpoint(
-                    eager=False
-                )
+                part_src.repartition(
+                    self._n_part, part_col
+                ).localCheckpoint(eager=False)
             )
             if len(seen_parts) > 16:
                 merged = seen_parts[0]
@@ -786,7 +833,7 @@ class SparkCrawler:
                     merged = merged.unionByName(p)
                 seen_parts = [
                     merged.repartition(
-                        self._n_part, "link"
+                        self._n_part, part_col
                     ).localCheckpoint(eager=False)
                 ]
                 # compaction renumbers the parts; the bank is re-synced
