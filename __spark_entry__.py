@@ -613,6 +613,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # PII scrub: typed-placeholder redaction + per-type counts, pure
+    # per-row regexp (no shuffle)
+    q["text_pii_redact"] = lambda spark, sf: textops.pii_redact(
+        _docs(spark, sf)
+    )
+    # deterministic md5-bucket train/val/test split (stable under corpus
+    # growth and re-partitioning, unlike random sampling)
+    q["text_hash_split"] = lambda spark, sf: textops.hash_split(
+        _docs(spark, sf)
+    )
+    # corpus vocabulary: top-100 tokens by frequency via distributed
+    # TakeOrdered (not a global sort)
+    q["text_vocab_topk"] = lambda spark, sf: textops.vocab_topk(
+        _docs(spark, sf), k=100
+    )
+    # data-mixing quota: ≤10 docs per source in deterministic hash order
+    # (sf0.01 has 25 docs/source, so the cap binds on every source)
+    q["text_source_quota"] = lambda spark, sf: textops.source_quota_sample(
+        _docs(spark, sf), quota=10
+    )
+
     # --- Structured Streaming tier, drained deterministically: the same
     # static parquet feed under an availableNow trigger — the streaming
     # modules' first driver CORRECTNESS rows (previously pytest-only) ---
@@ -1290,6 +1311,64 @@ def oracle_sql() -> dict[str, str]:
     sql["topk_priority"] = """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 100"""
+
+    # PII redaction: same Java∩RE2 patterns; DuckDB needs the 'g' flag
+    # (regexp_replace is first-match-only by default there)
+    from cobweb_spark.operators.textops import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    def _pq(pat: str) -> str:
+        # DuckDB standard strings keep backslashes literal; only quotes
+        # need doubling
+        return "'" + pat.replace("'", "''") + "'"
+
+    sql["text_pii_redact"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, {_pq(PII_EMAIL)}))::INT
+                   AS n_emails,
+               len(regexp_extract_all(text, {_pq(PII_IPV4)}))::INT
+                   AS n_ipv4,
+               len(regexp_extract_all(
+                   regexp_replace(text, {_pq(PII_EMAIL)}, '<EMAIL>', 'g'),
+                   {_pq(PII_PHONE)}))::INT AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, {_pq(PII_EMAIL)}, '<EMAIL>', 'g'),
+                   {_pq(PII_IPV4)}, '<IP>', 'g'),
+                   {_pq(PII_PHONE)}, '<PHONE>', 'g') AS redacted
+        FROM documents"""
+
+    # deterministic hash split: same 60-bit md5 bucket as textops._h
+    HSPLIT = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+    sql["text_hash_split"] = f"""
+        SELECT doc_id, {HSPLIT} AS bucket,
+               CASE WHEN {HSPLIT} < 90 THEN 'train'
+                    WHEN {HSPLIT} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents"""
+
+    sql["text_vocab_topk"] = f"""
+        WITH toks AS (SELECT {TOKENS} AS t FROM documents),
+        counts AS (
+            SELECT lower(w) AS token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(t) AS w FROM toks)
+            WHERE w <> '' GROUP BY 1
+        )
+        SELECT token, n,
+               row_number() OVER (ORDER BY n DESC, token ASC)::INT AS rank
+        FROM counts ORDER BY n DESC, token ASC LIMIT 100"""
+
+    sql["text_source_quota"] = """
+        SELECT doc_id, source, smp_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id)::INT
+                       AS smp_rank
+            FROM documents
+        ) WHERE smp_rank <= 10"""
 
     # benchmark contamination: distinct 13-gram hashes per doc vs the
     # benchmark subset's gram set (doc_id % 20 = 7), exactly mirroring

@@ -613,3 +613,111 @@ def segment_dedup(
             F.coalesce("max_segment_df", F.lit(0)).alias("max_segment_df"),
         )
     )
+
+
+# -- round 5: PII, splits, vocabulary, per-source quotas ------------------
+
+# PII patterns written in the Java-regex ∩ RE2 dialect (no lookaround, no
+# backreferences) so Spark and the DuckDB oracle match identical spans.
+# Redaction order matters: emails first (they contain digit runs and
+# dots), then IPv4, then phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}\b|\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrub — the pre-training redaction pass: count and replace
+    emails, IPv4 addresses and phone numbers with typed placeholders.
+
+    All JVM ``regexp_replace``/``regexp_extract_all`` (whole-stage
+    codegen; per-doc work, no shuffle at all — the one truly
+    embarrassingly-parallel operator in the pipeline). Counts are taken
+    on the ORIGINAL text, then replacements applied in a fixed order so
+    an email's digit runs are never double-counted as phones.
+    """
+    n = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    )
+    redacted = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IPV4).alias("n_ipv4"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                F.lit(PII_PHONE),
+                0,
+            )
+        ).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def hash_split(
+    documents: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free hash of
+    the document id: bucket = md5-hash(doc_id) mod 100. The split is
+    stable under corpus growth/reordering/re-partitioning (the property
+    random() sampling lacks), reproducible across engines, and pure
+    per-row compute — no shuffle, no state.
+    """
+    bucket = F.pmod(_h(F.col("doc_id").cast("string")), F.lit(100))
+    return documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k lowercased whitespace tokens by frequency
+    (ties broken alphabetically), with dense global rank.
+
+    Scale shape: explode → one map-side-combined groupBy(token) →
+    ``orderBy(...).limit(k)`` — Spark plans the limit as a distributed
+    TakeOrdered (per-partition top-k, then a k·P-row driver merge), NOT
+    a global sort. The row_number window then runs over k rows only.
+    """
+    counts = (
+        documents.select(F.explode(_tokens()).alias("token"))
+        .where(F.col("token") != "")
+        .select(F.lower("token").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+def source_quota_sample(documents: DataFrame, quota: int = 50) -> DataFrame:
+    """Per-source quota sampling — the data-mixing primitive: keep at
+    most ``quota`` documents per source, chosen by a deterministic
+    hash order (so the sample is uniform-ish, stable, and identical in
+    any engine), and return them with their within-source sample rank.
+
+    One window per source partition. A mega-source makes that partition
+    big — same skew story as politeness admission (`operators/admit.py`);
+    at 10^10 docs apply the same two-phase salted pre-top-k before the
+    per-source window. At benchmark scale the direct window is the
+    honest measurement.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= quota)
+    )

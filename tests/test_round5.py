@@ -5,6 +5,7 @@ Crafted-input goldens computed by hand — independent of the DuckDB
 oracle that the driver's CORRECTNESS gate runs over the sf tables.
 """
 
+import hashlib
 import math
 
 import pytest
@@ -272,3 +273,112 @@ class TestSlimExpandParity:
             )
             results[mode] = (pages, seen, edges)
         assert results[True] == results[False]
+
+
+class TestPiiRedact:
+    def test_crafted_redaction(self, spark):
+        docs = _docs_df(
+            spark,
+            {
+                0: "mail bob.smith+x@corp.example.com now",
+                1: "server at 192.168.1.200 port 80",
+                2: "call +4915112345678 or 555-867-5309 ext 2",
+                3: "clean text with numbers 12 345 but no pii",
+            },
+        )
+        out = {r["doc_id"]: r for r in textops.pii_redact(docs).collect()}
+        assert out[0]["n_emails"] == 1 and out[0]["redacted"] == (
+            "mail <EMAIL> now"
+        )
+        assert out[1]["n_ipv4"] == 1 and out[1]["redacted"] == (
+            "server at <IP> port 80"
+        )
+        # 555-867-5309: 3-3-4 with dashes; +49... international
+        assert out[2]["n_phones"] == 2
+        assert out[2]["redacted"] == "call <PHONE> or <PHONE> ext 2"
+        assert (
+            out[3]["n_emails"] == 0
+            and out[3]["n_ipv4"] == 0
+            and out[3]["n_phones"] == 0
+        )
+        assert out[3]["redacted"] == docs.collect()[3]["text"]
+
+    def test_email_digits_not_counted_as_phone(self, spark):
+        # the local part has a phone-shaped digit run; counting phones on
+        # email-redacted text must not see it
+        docs = _docs_df(spark, {0: "x 555-867-5309@spam.example y"})
+        row = textops.pii_redact(docs).collect()[0]
+        assert row["n_emails"] == 1
+        assert row["n_phones"] == 0
+        assert row["redacted"] == "x <EMAIL> y"
+
+
+class TestHashSplit:
+    def test_deterministic_and_complete(self, spark):
+        docs = _docs_df(spark, {i: f"doc {i}" for i in range(200)})
+        out = textops.hash_split(docs).collect()
+        assert len(out) == 200
+        by_split = {}
+        for r in out:
+            assert r["bucket"] == int(
+                hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16
+            ) % 100
+            by_split.setdefault(r["split"], set()).add(r["doc_id"])
+        # default 90/5/5: all three splits populated at n=200 and the
+        # boundaries respected
+        assert set(by_split) == {"train", "val", "test"}
+        assert len(by_split["train"]) > len(by_split["val"])
+        # stability under corpus growth: the first 100 docs keep their
+        # assignment when 100 more arrive
+        sub = {
+            r["doc_id"]: r["split"]
+            for r in textops.hash_split(
+                _docs_df(spark, {i: f"doc {i}" for i in range(100)})
+            ).collect()
+        }
+        full = {r["doc_id"]: r["split"] for r in out}
+        assert all(full[i] == sub[i] for i in range(100))
+
+
+class TestVocabTopk:
+    def test_counts_and_ranks(self, spark):
+        docs = _docs_df(
+            spark,
+            {0: "The the THE cat", 1: "cat dog", 2: "Dog dog  emu"},
+        )
+        rows = textops.vocab_topk(docs, k=3).collect()
+        got = [(r["token"], r["n"], r["rank"]) for r in rows]
+        # the:3 (case-folded), dog:3, cat:2 — ties alphabetical
+        assert got == [("dog", 3, 1), ("the", 3, 2), ("cat", 2, 3)]
+
+    def test_k_caps_output(self, spark):
+        docs = _docs_df(spark, {0: "a b c d e f g h"})
+        assert textops.vocab_topk(docs, k=4).count() == 4
+
+
+class TestSourceQuotaSample:
+    def test_quota_binds_per_source(self, spark):
+        rows = [
+            (i, f"text {i}", "big" if i < 40 else "small")
+            for i in range(50)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = textops.source_quota_sample(docs, quota=15).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["big"]) == 15  # capped
+        assert len(by_src["small"]) == 10  # under quota, all kept
+        # ranks are 1..n within each source, and the selection is the
+        # deterministic md5-order prefix
+        for src, rs in by_src.items():
+            assert sorted(r["smp_rank"] for r in rs) == list(
+                range(1, len(rs) + 1)
+            )
+        want_big = sorted(
+            (i for i in range(40)),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:15]
+        assert sorted(r["doc_id"] for r in by_src["big"]) == sorted(want_big)
