@@ -633,6 +633,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_source_quota"] = lambda spark, sf: textops.source_quota_sample(
         _docs(spark, sf), quota=10
     )
+    # sequence packing: per-doc token-offset ranges in the concatenated
+    # md5-ordered training stream, chunked into seq_len=64 windows
+    # (distributed prefix-sum, same construction as discovery_order)
+    q["text_pack_sequences"] = lambda spark, sf: textops.pack_sequences(
+        _docs(spark, sf), seq_len=64
+    )
+    # unigram-LM quality score: mean token NLL under the corpus's own
+    # unigram distribution (the KenLM/perplexity-filter stand-in)
+    q["text_unigram_logprob"] = lambda spark, sf: textops.unigram_logprob(
+        _docs(spark, sf)
+    )
+    # IVF-flat ANN: deterministic sampled centroids, nprobe=2 of 8
+    # inverted lists per query, exact cosine within the probed lists
+    q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_ann_topk(
+        _emb(spark, sf), query_ids=[0, 1, 2, 3, 4], k=5,
+        n_centroids=8, nprobe=2,
+    )
 
     # --- Structured Streaming tier, drained deterministically: the same
     # static parquet feed under an availableNow trigger — the streaming
@@ -1369,6 +1386,85 @@ def oracle_sql() -> dict[str, str]:
                        AS smp_rank
             FROM documents
         ) WHERE smp_rank <= 10"""
+
+    # sequence packing: global token-offset cumsum in md5(doc_id) order.
+    # The oracle uses one global window (fine at oracle scale); the Spark
+    # side is the bucketed distributed prefix-sum — same totals.
+    sql["text_pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   array_length({TOKENS}, 1)::BIGINT AS n_tokens,
+                   md5(doc_id::VARCHAR) AS okey
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   (sum(n_tokens) OVER (ORDER BY okey, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens)::BIGINT AS start_off
+            FROM t
+        )
+        SELECT doc_id, n_tokens, start_off,
+               (start_off // 64)::BIGINT AS seq_first,
+               ((start_off + n_tokens - 1) // 64)::BIGINT AS seq_last,
+               ((start_off + n_tokens - 1) // 64
+                - start_off // 64 + 1)::BIGINT AS n_seqs
+        FROM c"""
+
+    # unigram-LM scoring: corpus unigram distribution, per-doc mean NLL
+    sql["text_unigram_logprob"] = f"""
+        WITH utoks AS (
+            SELECT doc_id, w AS token FROM (
+                SELECT doc_id, unnest({TOKENS}) AS w FROM documents
+            ) WHERE w <> ''
+        ), vocab AS (
+            SELECT token, count(*)::BIGINT AS cnt FROM utoks
+            GROUP BY token
+        ), tot AS (SELECT count(*)::DOUBLE AS total FROM utoks)
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(-ln(v.cnt / tot.total)), 4) AS avg_nll
+        FROM utoks t JOIN vocab v USING (token) CROSS JOIN tot
+        GROUP BY t.doc_id"""
+
+    # IVF-flat ANN: same sampled centroids (smallest md5(vec_id)), same
+    # max-cosine assignment, same nprobe=2 probe ranking and within-list
+    # exact cosine as similarity.ivf_ann_topk
+    sql["ann_ivf_topk"] = """
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+            FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+        ), sims AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, c.cid,
+                   list_dot_product(e.embedding::DOUBLE[], c.cemb)
+                     / sqrt(list_dot_product(c.cemb, c.cemb)) AS sim
+            FROM embeddings e CROSS JOIN cent c
+        ), ranked_assign AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY sim DESC, cid ASC) AS rnk
+            FROM sims
+        ), inv AS (
+            SELECT vec_id, emb, cid FROM ranked_assign WHERE rnk = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, emb AS q_emb, cid
+            FROM ranked_assign
+            WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= 2
+        ), scored AS (
+            SELECT p.query_id, i.vec_id AS neighbor_id,
+                   round(list_dot_product(p.q_emb, i.emb) /
+                         (sqrt(list_dot_product(p.q_emb, p.q_emb)) *
+                          sqrt(list_dot_product(i.emb, i.emb))), 6)
+                       AS cosine
+            FROM probes p JOIN inv i ON p.cid = i.cid
+            WHERE i.vec_id <> p.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5"""
 
     # benchmark contamination: distinct 13-gram hashes per doc vs the
     # benchmark subset's gram set (doc_id % 20 = 7), exactly mirroring

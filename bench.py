@@ -244,6 +244,54 @@ def main() -> dict:
         .count(),
     )
 
+    # round-5 training-data operators
+    timed(
+        "text_contamination",
+        lambda: textops.contamination_check(
+            sf_docs, sf_docs.filter(F.col("doc_id") % 20 == 7), n=13
+        ).count(),
+    )
+    timed(
+        "text_repetition",
+        lambda: textops.repetition_signals(sf_docs)
+        .agg(F.avg("dup_word_frac"))
+        .collect(),
+    )
+    timed(
+        "dedup_segments",
+        lambda: textops.segment_dedup(sf_docs).count(),
+    )
+    timed(
+        "dedup_semantic_keepers",
+        lambda: similarity.semantic_dedup_keepers(
+            sf_emb, threshold=0.4, n_planes=6, n_tables=4, dim=64
+        ).count(),
+    )
+    timed(
+        "text_pii_redact",
+        lambda: textops.pii_redact(sf_docs)
+        .agg(F.sum("n_emails"), F.sum("n_phones"))
+        .collect(),
+    )
+    timed(
+        "text_pack_sequences",
+        lambda: textops.pack_sequences(sf_docs, seq_len=256)
+        .agg(F.max("seq_last"))
+        .collect(),
+    )
+    timed(
+        "text_unigram_logprob",
+        lambda: textops.unigram_logprob(sf_docs)
+        .agg(F.avg("avg_nll"))
+        .collect(),
+    )
+    timed(
+        "ann_ivf_topk",
+        lambda: similarity.ivf_ann_topk(
+            sf_emb, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=8, nprobe=2
+        ).count(),
+    )
+
     out = {
         "metric": "urls_fetched_deduped_per_sec",
         "value": urls_per_sec,

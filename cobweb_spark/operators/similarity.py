@@ -383,3 +383,125 @@ def semantic_dedup_keepers(
             F.coalesce("keeper", F.col("vec_id")).alias("keeper"),
         )
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse-quantizer centroids: the ``n_centroids``
+    corpus vectors with the smallest ``md5(vec_id)`` (ties by vec_id).
+
+    Sampled centroids instead of k-means iterations keep the construction
+    reproducible across engines (the DuckDB oracle re-derives the same
+    set with ``ORDER BY md5(...) LIMIT K``) and collect exactly K rows to
+    the driver — the one driver action in the IVF path, bounded by K, not
+    the corpus. At 100 TB K ~ sqrt(N) is still thousands of rows, safely
+    collectable; a k-means refinement would only change the centroid
+    table, not the plan shape downstream.
+    """
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _centroid_sims(emb_col, centroids):
+    """Array of (sim, -cid) structs: per-row cosine-to-centroid, computed
+    once per centroid, all in JVM codegen. ``array_max`` on it gives the
+    best centroid (max sim, ties to the smallest cid via the negated id);
+    ``sort_array(desc)`` + ``slice`` gives the nprobe-nearest list."""
+    entries = []
+    for cid, cemb in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cemb])
+        sim = _dot(emb_col, arr) / _norm(arr)
+        entries.append(
+            F.struct(
+                sim.alias("sim"),
+                F.lit(-cid).cast("bigint").alias("negcid"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Assign every vector to its inverted list: cid of the max-cosine
+    centroid. Map-only — the centroid table rides in as a literal array
+    (broadcast by construction), so building the IVF index is one scan
+    with zero shuffles; writing it partitioned by ``cid`` IS the index.
+    """
+    sims = _centroid_sims(F.col("embedding"), centroids)
+    return embeddings.withColumn(
+        "cid", (-F.array_max(sims)["negcid"]).cast("bigint")
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the ``nprobe`` nearest lists per query, exact
+    cosine ranking within the probed lists.
+
+    The third standard ANN construction next to the sign-LSH tiers:
+    where LSH recall is tuned by (planes, tables), IVF recall is tuned
+    by nprobe/n_centroids — candidates are corpus-partition-shaped
+    (~nprobe/K of the data per query) rather than hash-bucket-shaped.
+    Candidate generation is one equi-join on ``cid``; inverted lists
+    partition the corpus, so probing never double-scores a neighbor.
+    Approximate by design; the DuckDB oracle mirrors the same sampled
+    centroids, assignment and probe ranking exactly.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    cents = ivf_centroids(embeddings, n_centroids)
+    inv = ivf_assign(embeddings, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "cid",
+    )
+    q_sims = _centroid_sims(F.col("embedding"), cents)
+    probes = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.slice(F.sort_array(q_sims, asc=False), 1, nprobe)
+            ).alias("probe"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            (-F.col("probe")["negcid"]).cast("bigint").alias("cid"),
+        )
+    )
+    pairs = probes.join(inv, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("n_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("n_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

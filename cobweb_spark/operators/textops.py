@@ -721,3 +721,108 @@ def source_quota_sample(documents: DataFrame, quota: int = 50) -> DataFrame:
         .withColumn("smp_rank", F.row_number().over(w))
         .filter(F.col("smp_rank") <= quota)
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 256,
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Sequence packing — map each document onto its token-offset range in
+    the concatenated training stream (GPT-style concat-and-chunk packing).
+
+    Documents are laid out in deterministic ``md5(doc_id)`` order (the
+    same content-free shuffle as ``hash_split``), tokens concatenated,
+    and the stream cut into fixed ``seq_len`` windows. The output gives,
+    per document: its token count, its start offset in the stream, and
+    the first/last training-sequence ids it lands in — everything a
+    pack-and-shard writer needs to emit examples.
+
+    The global running offset is the same scalable construction as BFS
+    ``discovery_order`` (`operators/order.py`): bucket by an
+    order-preserving md5 prefix (16^bucket_hex_chars buckets), per-bucket
+    token sums from ONE map-side-combined agg (collects n_buckets rows,
+    never data), driver prefix-sum rides back as a literal map, and a
+    per-bucket window cumsum assigns offsets in whole-stage codegen —
+    no single-partition global window, no Python stage. At 100 TB raise
+    ``bucket_hex_chars`` so per-bucket rows stay executor-sized.
+    """
+    okey = F.md5(F.col("doc_id").cast("string"))
+    toks = documents.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        okey.alias("__okey"),
+        F.conv(F.substring(okey, 1, bucket_hex_chars), 16, 10)
+        .cast("int")
+        .alias("__bkt"),
+    )
+    toks = toks.localCheckpoint(eager=False)
+    sums = toks.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    by_bkt = {r["__bkt"]: r["s"] for r in sums}
+    offsets, acc = {}, 0
+    for b in sorted(by_bkt):
+        offsets[b] = acc
+        acc += by_bkt[b]
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
+        )
+        base = F.element_at(off_map, F.col("__bkt"))
+    else:
+        base = F.lit(0)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (base + F.sum("n_tokens").over(w) - F.col("n_tokens")).cast(
+        "bigint"
+    )
+    # integer `div`, not float floor: exact at any stream length
+    return toks.select(
+        "doc_id", "n_tokens", start.alias("start_off")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {seq_len}").alias("seq_first"),
+        F.expr(f"(start_off + n_tokens - 1) div {seq_len}").alias(
+            "seq_last"
+        ),
+        F.expr(
+            f"(start_off + n_tokens - 1) div {seq_len} "
+            f"- start_off div {seq_len} + 1"
+        ).alias("n_seqs"),
+    )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Unigram language-model quality score: per-document mean negative
+    log-probability of its tokens under the corpus's own unigram
+    distribution — the cheap stand-in for a KenLM/perplexity filter
+    (low avg_nll ≈ stopword-heavy boilerplate, high ≈ rare-token noise).
+
+    Scale shape: the vocabulary is one map-side-combined groupBy(token);
+    the scoring join keys token occurrences to their corpus counts —
+    every probe matches exactly one vocab row, so the join never
+    amplifies. The vocab of a web corpus is Zipf-skewed but SMALL
+    relative to the corpus (|V| ≪ N·len); broadcast it when it fits,
+    else the shuffle join partial-aggregates cleanly. The corpus total
+    is a scalar driver agg.
+    """
+    toks = (
+        documents.select(
+            "doc_id", F.explode(_tokens()).alias("token")
+        ).where(F.col("token") != "")
+    ).localCheckpoint(eager=False)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    nll = -F.log(F.col("cnt") / F.lit(float(total)))
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )

@@ -382,3 +382,147 @@ class TestSourceQuotaSample:
             key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
         )[:15]
         assert sorted(r["doc_id"] for r in by_src["big"]) == sorted(want_big)
+
+
+class TestPackSequences:
+    def _expected(self, texts: dict[int, str], seq_len: int):
+        order = sorted(
+            texts, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        out, off = {}, 0
+        for d in order:
+            n = len(texts[d].strip().split())
+            first = off // seq_len
+            last = (off + n - 1) // seq_len
+            out[d] = (n, off, first, last, last - first + 1)
+            off += n
+        return out
+
+    def test_crafted_layout(self, spark):
+        texts = {
+            0: "a b c d e",
+            1: "f g h",
+            2: "i j k l m n o p",
+            3: "q",
+            4: "r s t u v w",
+        }
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["start_off"], r["seq_first"],
+                r["seq_last"], r["n_seqs"],
+            )
+            for r in textops.pack_sequences(
+                _docs_df(spark, texts), seq_len=4
+            ).collect()
+        }
+        assert got == self._expected(texts, seq_len=4)
+
+    def test_bucket_count_invariance(self, spark):
+        # the distributed prefix-sum must give the same global layout
+        # regardless of how many md5-prefix buckets it uses
+        texts = {i: " ".join(["w"] * (i % 7 + 1)) for i in range(40)}
+        df = _docs_df(spark, texts)
+        a = {
+            r["doc_id"]: r["start_off"]
+            for r in textops.pack_sequences(
+                df, seq_len=8, bucket_hex_chars=1
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["start_off"]
+            for r in textops.pack_sequences(
+                df, seq_len=8, bucket_hex_chars=2
+            ).collect()
+        }
+        assert a == b == {
+            d: v[1] for d, v in self._expected(texts, 8).items()
+        }
+
+    def test_stream_is_contiguous(self, spark):
+        texts = {i: " ".join(["t"] * 5) for i in range(20)}
+        rows = textops.pack_sequences(
+            _docs_df(spark, texts), seq_len=16
+        ).collect()
+        spans = sorted((r["start_off"], r["n_tokens"]) for r in rows)
+        off = 0
+        for start, n in spans:
+            assert start == off
+            off += n
+
+
+class TestUnigramLogprob:
+    def test_crafted_nll(self, spark):
+        docs = _docs_df(spark, {0: "a a b", 1: "b c"})
+        out = {
+            r["doc_id"]: r
+            for r in textops.unigram_logprob(docs).collect()
+        }
+        # corpus: a=2, b=2, c=1, total=5
+        assert out[0]["n_tokens"] == 3
+        assert out[0]["avg_nll"] == round(-math.log(2 / 5), 4)
+        assert out[1]["n_tokens"] == 2
+        assert out[1]["avg_nll"] == round(
+            (-math.log(2 / 5) - math.log(1 / 5)) / 2, 4
+        )
+
+    def test_boilerplate_scores_lower_than_rare(self, spark):
+        common = " ".join(["the same words again"] * 5)
+        docs = _docs_df(
+            spark,
+            {i: common for i in range(9)} | {9: "xylophone quark zygote"},
+        )
+        out = {
+            r["doc_id"]: r["avg_nll"]
+            for r in textops.unigram_logprob(docs).collect()
+        }
+        assert out[0] < out[9]
+
+
+class TestIvfAnn:
+    def test_centroids_deterministic_min_md5(self, spark):
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        cents = similarity.ivf_centroids(emb, n_centroids=8)
+        ids = [c for c, _ in cents]
+        all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+        expect = sorted(
+            all_ids,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:8]
+        assert ids == expect
+
+    def test_assignment_partitions_corpus(self, spark):
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        )
+        cents = similarity.ivf_centroids(emb, n_centroids=8)
+        assigned = similarity.ivf_assign(emb, cents)
+        assert assigned.count() == emb.count()  # map-only, no row loss
+        cids = {r["cid"] for r in assigned.select("cid").distinct().collect()}
+        assert cids <= {c for c, _ in cents}
+        # a centroid vector's best match is itself (cosine 1.0)
+        own = {
+            r["vec_id"]: r["cid"]
+            for r in assigned.filter(
+                assigned.vec_id.isin([c for c, _ in cents])
+            ).collect()
+        }
+        assert own == {c: c for c, _ in cents}
+
+    def test_recall_band_vs_exact(self, spark):
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.1/embeddings.parquet"
+        ).cache()
+        qids = list(range(20))
+        exact = similarity.cosine_topk(emb, query_ids=qids, k=5)
+        approx = similarity.ivf_ann_topk(
+            emb, query_ids=qids, k=5, n_centroids=8, nprobe=2
+        )
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(truth & got) / len(truth)
+        # nprobe/K = 2/8 of a near-isotropic corpus: recall tracks the
+        # probed mass; floor = regression alarm (measured band in
+        # BENCH/BASELINE.md), raise nprobe for production recall
+        assert recall >= 0.2, f"ivf recall@5 = {recall:.3f}"
