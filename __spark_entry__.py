@@ -765,6 +765,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_samples",
     )
 
+    # resize: Spark decodes + nearest-neighbor-resamples + re-encodes the
+    # PNG pixels and reports the dims of its OWN emitted payload; the
+    # oracle recomputes the integer-floor fit from stored ground-truth
+    # dims — agreement proves the round-trip hit the planned geometry.
+    from cobweb_spark.operators.multimodal import (
+        frame_sample_media,
+        resize_media,
+    )
+
+    q["media_resize_dims"] = lambda spark, sf: resize_media(
+        media_payloads(
+            load_documents(spark, corpus_path),
+            spark.read.parquet(man["media_store"]),
+        ),
+        max_dim=32,
+    ).select(
+        "doc_id",
+        "media_ref",
+        "format",
+        "width",
+        "height",
+        "new_width",
+        "new_height",
+    )
+
+    # frame sampling: Spark parses the WAV PCM chunk and decimates real
+    # frames (the crc over sampled bytes is pinned in pytest — not SQL-
+    # reproducible); the oracle derives count arithmetic from stored
+    # ground-truth n_samples.
+    q["media_frame_sample"] = lambda spark, sf: frame_sample_media(
+        media_payloads(
+            load_documents(spark, corpus_path),
+            spark.read.parquet(man["media_store"]),
+        ),
+        every_k=4,
+    ).select(
+        "doc_id",
+        "media_ref",
+        "format",
+        "n_samples",
+        "n_sampled",
+    )
+
     from cobweb_spark.session import ensure_shipped
 
     def _wrap(fn):
@@ -1007,6 +1050,57 @@ def oracle_sql() -> dict[str, str]:
                     WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
                     ELSE 'unknown' END AS format,
                m.n_bytes, m.width, m.height, m.sample_rate, m.n_samples
+        FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
+
+    # resize geometry: integer-floor fit (media_codecs.fit_dims) over the
+    # generator's ground-truth dims; wav rows keep null dims
+    sql["media_resize_dims"] = f"""
+        WITH refs AS (
+            SELECT doc_id, s.media_ref AS media_ref FROM (
+                SELECT doc_id, unnest(spans) AS s FROM {rp(corpus)}
+            ) WHERE s.media_ref IS NOT NULL
+        )
+        SELECT r.doc_id, r.media_ref,
+               CASE WHEN m.media_kind = 'image/png' THEN 'png'
+                    WHEN m.media_kind = 'audio/wav' THEN 'wav'
+                    WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
+                    ELSE 'unknown' END AS format,
+               CASE WHEN m.media_kind LIKE 'image/%' THEN m.width END
+                   AS width,
+               CASE WHEN m.media_kind LIKE 'image/%' THEN m.height END
+                   AS height,
+               CASE WHEN m.media_kind LIKE 'image/%' THEN
+                   CASE WHEN GREATEST(m.width, m.height) <= 32
+                        THEN m.width
+                        ELSE GREATEST(1, (m.width * 32)
+                                         // GREATEST(m.width, m.height))
+                   END
+               END AS new_width,
+               CASE WHEN m.media_kind LIKE 'image/%' THEN
+                   CASE WHEN GREATEST(m.width, m.height) <= 32
+                        THEN m.height
+                        ELSE GREATEST(1, (m.height * 32)
+                                          // GREATEST(m.width, m.height))
+                   END
+               END AS new_height
+        FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
+
+    # frame decimation counts: n_sampled = ceil(n_samples / 4) for wav
+    sql["media_frame_sample"] = f"""
+        WITH refs AS (
+            SELECT doc_id, s.media_ref AS media_ref FROM (
+                SELECT doc_id, unnest(spans) AS s FROM {rp(corpus)}
+            ) WHERE s.media_ref IS NOT NULL
+        )
+        SELECT r.doc_id, r.media_ref,
+               CASE WHEN m.media_kind = 'image/png' THEN 'png'
+                    WHEN m.media_kind = 'audio/wav' THEN 'wav'
+                    WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
+                    ELSE 'unknown' END AS format,
+               CASE WHEN m.media_kind = 'audio/wav' THEN m.n_samples END
+                   AS n_samples,
+               CASE WHEN m.media_kind = 'audio/wav'
+                    THEN (m.n_samples + 3) // 4 END AS n_sampled
         FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
 
     # text ops — identical md5-derived hashing in both engines

@@ -214,3 +214,63 @@ def sniff_format(payload: bytes) -> str:
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return "unknown"
+
+
+def encode_gray_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode raw row-major 8-bit grayscale pixels as a valid PNG
+    (filter-0 scanlines) — the inverse of ``decode_png_pixels``."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raster = bytearray()
+    for y in range(height):
+        raster.append(0)
+        raster += pixels[y * width : (y + 1) * width]
+    idat = zlib.compress(bytes(raster), 6)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def fit_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
+    """Target dimensions fitting ``max_dim`` with aspect preserved —
+    pure integer arithmetic (floor), so the DuckDB oracle reproduces it:
+    unchanged when it already fits, else scaled by max_dim/longest side,
+    floored, clamped to >= 1."""
+    longest = max(width, height)
+    if longest <= max_dim:
+        return width, height
+    return (
+        max(1, (width * max_dim) // longest),
+        max(1, (height * max_dim) // longest),
+    )
+
+
+def resize_gray_nn(
+    pixels: bytes, width: int, height: int, new_w: int, new_h: int
+) -> bytes:
+    """Deterministic nearest-neighbor resample of raw grayscale pixels:
+    source index = (dst * src_len) // dst_len per axis."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ys = (np.arange(new_h) * height) // new_h
+    xs = (np.arange(new_w) * width) // new_w
+    return arr[np.ix_(ys, xs)].tobytes()
+
+
+def wav_pcm_frames(payload: bytes) -> bytes | None:
+    """Raw PCM bytes of the data chunk, or None if not a PCM WAV."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"data":
+            return payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    return None

@@ -526,3 +526,118 @@ class TestIvfAnn:
         # probed mass; floor = regression alarm (measured band in
         # BENCH/BASELINE.md), raise nprobe for production recall
         assert recall >= 0.2, f"ivf recall@5 = {recall:.3f}"
+
+
+class TestMediaResize:
+    def test_png_roundtrip_pixels(self):
+        """Resized payload decodes to exactly the nearest-neighbor
+        reference computed independently here with numpy fancy
+        indexing — the operator's pixel path, not just its header."""
+        import numpy as np
+
+        from cobweb_spark.functions.media_codecs import (
+            decode_png_header,
+            decode_png_pixels,
+            encode_gray_png,
+            encode_png,
+            fit_dims,
+            resize_gray_nn,
+        )
+
+        src = encode_png(48, 20, seed=7)
+        w, h = decode_png_header(src)
+        pix = np.frombuffer(decode_png_pixels(src), dtype=np.uint8)
+        pix = pix.reshape(h, w)
+        tw, th = fit_dims(w, h, 32)
+        assert (tw, th) == (32, 13)  # floor(20*32/48)=13
+        ref = pix[
+            np.ix_((np.arange(th) * h) // th, (np.arange(tw) * w) // tw)
+        ]
+        resized = encode_gray_png(resize_gray_nn(pix.tobytes(), w, h, tw, th), tw, th)
+        assert decode_png_header(resized) == (tw, th)
+        got = np.frombuffer(decode_png_pixels(resized), dtype=np.uint8)
+        assert (got.reshape(th, tw) == ref).all()
+
+    def test_fit_dims_edges(self):
+        from cobweb_spark.functions.media_codecs import fit_dims
+
+        assert fit_dims(10, 10, 32) == (10, 10)  # already fits
+        assert fit_dims(64, 64, 32) == (32, 32)
+        assert fit_dims(1024, 1, 32) == (32, 1)  # clamp to >= 1
+        assert fit_dims(1, 1024, 32) == (1, 32)
+
+    def test_operator_resizes_store_fixture(self, spark):
+        from cobweb_spark.functions.media_codecs import (
+            decode_png_header,
+            decode_png_pixels,
+        )
+        from cobweb_spark.operators.multimodal import (
+            MEDIA_STORE_SCHEMA,
+            resize_media,
+        )
+        from cobweb_spark.testkit import fixtures as fx
+
+        rows = fx.build_media_store_rows([f"r{i}.bin" for i in range(9)])
+        store = spark.createDataFrame(rows, MEDIA_STORE_SCHEMA)
+        media = store.selectExpr(
+            "media_ref AS doc_id", "media_ref", "payload", "media_kind"
+        )
+        out = {r["media_ref"]: r for r in resize_media(media, max_dim=8).collect()}
+        for row in rows:
+            got = out[row["media_ref"]]
+            if row["media_kind"] == "image/png":
+                # emitted payload is a real PNG at the planned dims
+                assert got["new_width"] <= 8 and got["new_height"] <= 8
+                dims = decode_png_header(bytes(got["resized_payload"]))
+                assert dims == (got["new_width"], got["new_height"])
+                assert decode_png_pixels(bytes(got["resized_payload"])) is not None
+            elif row["media_kind"] == "image/jpeg":
+                # header-only plan: dims planned, payload honestly null
+                assert got["new_width"] <= 8 and got["new_height"] <= 8
+                assert got["resized_payload"] is None
+            else:  # wav passes through with null geometry
+                assert got["new_width"] is None
+                assert got["resized_payload"] is None
+
+
+class TestFrameSample:
+    def test_wav_crc_matches_independent_reference(self, spark):
+        """sampled_crc32 equals a crc computed here by slicing the PCM
+        chunk with plain Python — proves the operator decimated real
+        frame bytes."""
+        import struct
+        import zlib
+
+        from cobweb_spark.functions.media_codecs import encode_wav
+        from cobweb_spark.operators.multimodal import frame_sample_media
+
+        payload = encode_wav(37, 8000, seed=3)
+        # independent parse: find the data chunk without the codec module
+        pos = payload.index(b"data")
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        pcm = payload[pos + 8 : pos + 8 + length]
+        (n_ch,) = struct.unpack("<H", payload[22:24])
+        frame = n_ch * 2
+        ref_bytes = b"".join(
+            pcm[i * frame : (i + 1) * frame] for i in range(0, 37, 4)
+        )
+        media = spark.createDataFrame(
+            [("d1", "a.wav", payload, "audio/wav")],
+            "doc_id string, media_ref string, payload binary, media_kind string",
+        )
+        row = frame_sample_media(media, every_k=4).collect()[0]
+        assert row["n_samples"] == 37
+        assert row["n_sampled"] == 10  # ceil(37/4)
+        assert row["sampled_crc32"] == zlib.crc32(ref_bytes)
+
+    def test_images_pass_through_null(self, spark):
+        from cobweb_spark.functions.media_codecs import encode_png
+        from cobweb_spark.operators.multimodal import frame_sample_media
+
+        media = spark.createDataFrame(
+            [("d1", "p.png", encode_png(4, 4), "image/png")],
+            "doc_id string, media_ref string, payload binary, media_kind string",
+        )
+        row = frame_sample_media(media).collect()[0]
+        assert row["format"] == "png"
+        assert row["n_samples"] is None and row["sampled_crc32"] is None
