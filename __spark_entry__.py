@@ -553,6 +553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    def _sessionize_q(spark, sf):
+        from cobweb_spark.operators.stats import sessionize
+
+        return sessionize(
+            spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30
+        )
+
     # --- events: per-minute time-series stats (lib/stats.rb:211-228) ---
     q["events_minute_counts"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/events.parquet")
@@ -644,6 +651,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_unigram_logprob"] = lambda spark, sf: textops.unigram_logprob(
         _docs(spark, sf)
     )
+    # temperature-based source mixing: per-source accept rate from the
+    # n_s^tau mass (tau=0.5 flattens toward small sources), realized
+    # against the md5 fraction of the doc id — pure per-row accept after
+    # a broadcast of |sources| rows
+    q["text_temperature_sample"] = lambda spark, sf: (
+        textops.temperature_sample(_docs(spark, sf), tau=0.5,
+                                   target_frac=0.3)
+    )
+    # bigram-LM quality score: mean adjacent-pair NLL under the corpus's
+    # own bigram Markov model (one rung above unigram on the KenLM
+    # ladder)
+    q["text_bigram_logprob"] = lambda spark, sf: textops.bigram_logprob(
+        _docs(spark, sf)
+    )
+    # per-language length profile: exact interpolated percentiles of
+    # n_chars (the pre-filter calibration read)
+    q["text_length_stats"] = lambda spark, sf: textops.length_stats(
+        _docs(spark, sf)
+    )
+    # clickstream sessionization: 30-min-gap session split per user, one
+    # row per session (single shuffle on user_id)
+    q["events_sessionize"] = lambda spark, sf: _sessionize_q(spark, sf)
+
     # IVF-flat ANN: deterministic sampled centroids, nprobe=2 of 8
     # inverted lists per query, exact cosine within the probed lists
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_ann_topk(
@@ -1518,6 +1548,91 @@ def oracle_sql() -> dict[str, str]:
                round(avg(-ln(v.cnt / tot.total)), 4) AS avg_nll
         FROM utoks t JOIN vocab v USING (token) CROSS JOIN tot
         GROUP BY t.doc_id"""
+
+    # temperature mixing: per-source accept rate n_s^0.5-mass-normalized,
+    # same md5-fraction accept as hash_split; comparison uses the
+    # UNROUNDED rate (the rounded one is display-only), mirroring Spark
+    sql["text_temperature_sample"] = """
+        WITH stats AS (
+            SELECT source, count(*)::BIGINT AS n_source
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(pow(n_source::DOUBLE, 0.5)) AS denom,
+                   sum(n_source)::DOUBLE AS n_total
+            FROM stats
+        ), rated AS (
+            SELECT source, n_source,
+                   pow(n_source::DOUBLE, 0.5) / denom
+                     * (0.3 * n_total) / n_source::DOUBLE AS rate
+            FROM stats CROSS JOIN tot
+        ), capped AS (
+            SELECT source, n_source, least(1.0, rate) AS rate FROM rated
+        )
+        SELECT d.doc_id, d.source, c.n_source,
+               round(c.rate, 6) AS rate,
+               (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                / 1152921504606846976.0) < c.rate AS sampled
+        FROM documents d JOIN capped c USING (source)"""
+
+    # bigram-LM scoring: adjacent pairs from the empty-filtered token
+    # list (parallel unnest is positional in DuckDB), Markov conditional
+    # c(w1,w2)/c(w1,·)
+    sql["text_bigram_logprob"] = f"""
+        WITH arr AS (
+            SELECT doc_id, list_filter({TOKENS}, x -> x <> '') AS a
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id,
+                   unnest(a[1:len(a)-1]) AS w1,
+                   unnest(a[2:len(a)]) AS w2
+            FROM arr WHERE len(a) >= 2
+        ), big AS (
+            SELECT w1, w2, count(*)::BIGINT AS c2
+            FROM pairs GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, sum(c2)::BIGINT AS c1 FROM big GROUP BY w1
+        )
+        SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(-ln(b.c2::DOUBLE / x.c1::DOUBLE)), 4) AS avg_nll
+        FROM pairs p JOIN big b USING (w1, w2) JOIN ctx x USING (w1)
+        GROUP BY p.doc_id"""
+
+    # per-language length percentiles: quantile_cont == Spark's exact
+    # interpolated percentile (linear at p*(n-1))
+    sql["text_length_stats"] = """
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               round(avg(n_chars), 4) AS mean_chars,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90,
+               round(quantile_cont(n_chars, 0.99), 4) AS p99
+        FROM documents GROUP BY lang"""
+
+    # sessionization: whole-second gap arithmetic in both engines
+    # (floor(epoch) == Spark unix_timestamp's floorDiv); differences are
+    # timezone-invariant so naive-vs-UTC interpretation cancels
+    sql["events_sessionize"] = """
+        WITH lagged AS (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_ts
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR floor(epoch(ts))::BIGINT
+                                - floor(epoch(prev_ts))::BIGINT > 1800
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS session_seq
+            FROM lagged
+        )
+        SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+               min(ts) AS t_start, max(ts) AS t_end,
+               (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT
+                   AS duration_s
+        FROM numbered GROUP BY user_id, session_seq"""
 
     # IVF-flat ANN: same sampled centroids (smallest md5(vec_id)), same
     # max-cosine assignment, same nprobe=2 probe ranking and within-list

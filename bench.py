@@ -286,6 +286,18 @@ def main() -> dict:
         .collect(),
     )
     timed(
+        "text_bigram_logprob",
+        lambda: textops.bigram_logprob(sf_docs)
+        .agg(F.avg("avg_nll"))
+        .collect(),
+    )
+    from cobweb_spark.operators.stats import sessionize
+
+    timed(
+        "events_sessionize",
+        lambda: sessionize(sf_events).count(),
+    )
+    timed(
         "ann_ivf_topk",
         lambda: similarity.ivf_ann_topk(
             sf_emb, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=8, nprobe=2

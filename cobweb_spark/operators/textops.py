@@ -826,3 +826,111 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
     )
+
+
+def temperature_sample(
+    documents: DataFrame, tau: float = 0.5, target_frac: float = 0.3
+) -> DataFrame:
+    """Temperature-based source mixing — the multilingual/multi-source
+    LM sampling rule: source *s* gets probability mass
+    ``n_s^tau / sum(n^tau)`` (tau<1 upweights small sources), realized
+    as a per-source acceptance rate against a deterministic md5
+    fraction of the doc id. Expected sample size ≈ ``target_frac · N``
+    with the mix flattened toward tau; rates cap at 1 (a tiny source
+    cannot be oversampled without replacement).
+
+    Scale shape: source statistics are ONE map-side-combined
+    groupBy(source) collapsing to |sources| rows (thousands at web
+    scale) — broadcast back onto the corpus, so the accept decision is
+    pure per-row compute with no shuffle of the documents themselves.
+    Determinism: same hash convention as ``hash_split``, so the sample
+    is stable under growth, reordering, and engine choice.
+    """
+    stats = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    tot = stats.agg(
+        F.sum(F.pow(F.col("n_source").cast("double"), F.lit(float(tau)))),
+        F.sum("n_source"),
+    ).collect()[0]
+    denom, n_total = float(tot[0]), int(tot[1])
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(F.col("n_source").cast("double"), F.lit(float(tau)))
+        / F.lit(denom)
+        * F.lit(float(target_frac) * n_total)
+        / F.col("n_source").cast("double"),
+    )
+    rated = F.broadcast(stats.select("source", "n_source", rate.alias("rate")))
+    frac = _h(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
+    return documents.join(rated, "source").select(
+        "doc_id",
+        "source",
+        "n_source",
+        F.round("rate", 6).alias("rate"),
+        (frac < F.col("rate")).alias("sampled"),
+    )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Bigram language-model quality score: per-document mean negative
+    log-probability of each adjacent token pair under the corpus's own
+    bigram Markov model, ``-ln( c(w1,w2) / c(w1,·) )`` — one rung above
+    ``unigram_logprob`` on the KenLM ladder (captures word-order
+    fluency, not just token rarity). Documents with fewer than two
+    tokens have no bigrams and emit no row.
+
+    Scale shape: adjacent pairs come from array slicing inside codegen
+    (no self-join on position); the bigram table is one map-side-
+    combined groupBy, context counts are a second aggregation OVER THE
+    BIGRAM TABLE (|bigrams| ≪ corpus tokens), and both scoring joins
+    key occurrences to exactly one count row — non-amplifying, same
+    join shape as ``unigram_logprob``.
+    """
+    arr = F.filter(_tokens(), lambda x: x != "")
+    pairs = documents.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pairs = pairs.localCheckpoint(eager=False)
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nll = -F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
+
+
+def length_stats(documents: DataFrame) -> DataFrame:
+    """Per-language document-length distribution: count, mean, and exact
+    interpolated p50/p90/p99 of ``n_chars`` — the corpus profile a
+    filtering pipeline reads before setting length cutoffs.
+
+    Scale shape: one groupBy(lang). Exact percentiles over a group are
+    NOT partial-aggregatable (Spark collects each group's values), so
+    at 10^10 rows per language swap ``percentile`` for
+    ``percentile_approx`` (t-digest, mergeable) — the exact version is
+    the oracle-checkable tier at benchmark scale, same positioning as
+    brute-force cosine vs LSH ANN.
+    """
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )

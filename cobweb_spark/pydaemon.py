@@ -18,17 +18,24 @@ sandbox via ``spark.executorEnv.PYTHONPATH``, on a real cluster via the
 ``--py-files`` zip already on the worker path.
 
 Fork-safety: forking a process that already started threads can deadlock
-the children, and BLAS/OpenMP pools are the usual culprits. Two
-mitigations here: (1) thread-pool env caps are set to 1 BEFORE importing
-numpy, so its BLAS backend never spins up a pool in the daemon (workers
-run one-per-core anyway — a per-worker BLAS pool would oversubscribe);
-(2) only numpy and pandas are preloaded — pyarrow is deliberately NOT
-imported, because it may start background IO/jemalloc threads at import
-time, and measurement showed numpy+pandas are ~85% of the import storm
-(pyarrow itself imports in ~0.2s once numpy is warm). If a deployment
-still trips a fork issue, set ``SPARK_GRAFT_PY_DAEMON=pyspark.daemon``
-before building the session to fall back to the stock daemon
-(see ``session.get_spark``).
+or crash the children, and allocator/BLAS threads are the usual
+culprits. Mitigations here: (1) thread-pool env caps are set to 1 BEFORE
+importing numpy, so its BLAS backend never spins up a pool in the daemon
+(workers run one-per-core anyway — a per-worker BLAS pool would
+oversubscribe); (2) ONLY numpy is preloaded. pandas is deliberately NOT:
+its import transitively loads libarrow, whose bundled jemalloc starts a
+``jemalloc_bg_thd`` background thread that survives into the daemon —
+forking past a live allocator thread produced sporadic mid-task worker
+crashes ("Python worker exited unexpectedly" during Arrow reads, with
+task-retry storms multiplying stage times ~2x; verified by thread
+enumeration after each import and by crash-free runs under the stock
+daemon). Neither MALLOC_CONF=background_thread:false nor
+ARROW_DEFAULT_MEMORY_POOL=system suppresses it — Arrow's bundled
+jemalloc hardwires its own conf. With numpy warm through the fork,
+the worker-side residual is pandas+pyarrow at ~0.3s (measured) vs the
+~2s full storm. If a deployment still trips a fork issue, set
+``SPARK_GRAFT_PY_DAEMON=pyspark.daemon`` before building the session to
+fall back to the stock daemon (see ``session.get_spark``).
 """
 
 import os
@@ -43,7 +50,8 @@ for _v in (
     os.environ.setdefault(_v, "1")
 
 import numpy  # noqa: F401,E402  (preload: inherited by forked workers)
-import pandas  # noqa: F401,E402
+# NO pandas/pyarrow here: libarrow's jemalloc background thread is a
+# fork hazard (see module docstring).
 
 from pyspark.daemon import manager  # noqa: E402
 

@@ -117,15 +117,25 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(8 * 1024 * 1024),
         )
-        # python-worker daemon with numpy/pandas/pyarrow preloaded before
-        # the first fork (cobweb_spark/pydaemon.py): worker respawns after
-        # unclean releases then cost a fork instead of a ~2s import storm.
-        # The executor-side Python must be able to import the module —
-        # PYTHONPATH carries the repo (sandbox) / the --py-files zip
-        # (cluster). SPARK_GRAFT_PY_DAEMON=pyspark.daemon reverts.
+        # python-worker daemon with numpy (ONLY) preloaded before the
+        # first fork (cobweb_spark/pydaemon.py): worker respawns after
+        # unclean releases then cost a fork instead of an import storm.
+        # pandas/pyarrow are NOT preloaded — libarrow's jemalloc
+        # background thread is a fork hazard (sporadic worker crashes +
+        # task-retry storms; see pydaemon docstring). The executor-side
+        # Python must be able to import the module — PYTHONPATH carries
+        # the repo (sandbox) / the --py-files zip (cluster).
+        # SPARK_GRAFT_PY_DAEMON=pyspark.daemon reverts.
         .config(
             "spark.python.daemon.module",
             os.environ.get("SPARK_GRAFT_PY_DAEMON", "cobweb_spark.pydaemon"),
+        )
+        # crashed workers print a Python traceback instead of the opaque
+        # "exited unexpectedly" — negligible overhead, saved a round of
+        # forensics once already
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config(
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled", "true"
         )
         .config(
             "spark.executorEnv.PYTHONPATH",

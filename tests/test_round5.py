@@ -641,3 +641,128 @@ class TestFrameSample:
         row = frame_sample_media(media).collect()[0]
         assert row["format"] == "png"
         assert row["n_samples"] is None and row["sampled_crc32"] is None
+
+
+class TestTemperatureSample:
+    def test_rates_and_flags_match_manual(self, spark):
+        import hashlib
+
+        texts = {i: "w" for i in range(10)}
+        rows = [(i, "w", "big" if i < 8 else "small") for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textops.temperature_sample(
+                df, tau=0.5, target_frac=0.5
+            ).collect()
+        }
+        # n_big=8, n_small=2; denom = sqrt(8)+sqrt(2); C = 0.5*10 = 5
+        denom = math.sqrt(8) + math.sqrt(2)
+        rate_big = min(1.0, math.sqrt(8) / denom * 5 / 8)
+        rate_small = min(1.0, math.sqrt(2) / denom * 5 / 2)
+        assert rate_small > rate_big  # tau<1 upweights the small source
+        for i in range(10):
+            want_rate = rate_big if i < 8 else rate_small
+            assert out[i]["rate"] == pytest.approx(want_rate, abs=1e-6)
+            frac = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+                / float(1 << 60)
+            )
+            assert out[i]["sampled"] == (frac < want_rate)
+
+    def test_tiny_source_caps_at_one(self, spark):
+        rows = [(i, "w", "big") for i in range(99)] + [(99, "w", "solo")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {
+            r["source"]: r["rate"]
+            for r in textops.temperature_sample(
+                df, tau=0.5, target_frac=0.9
+            ).collect()
+        }
+        assert out["solo"] == 1.0  # cannot oversample without replacement
+        assert out["big"] < 1.0
+
+
+class TestBigramLogprob:
+    def test_crafted_markov_nll(self, spark):
+        df = _docs_df(spark, {1: "a b", 2: "a c", 3: "x"})
+        out = {
+            r["doc_id"]: r
+            for r in textops.bigram_logprob(df).collect()
+        }
+        # c(a,b)=1 c(a,c)=1, c(a,.)=2 -> each pair NLL = ln 2
+        assert set(out) == {1, 2}  # "x" has no bigram, emits no row
+        for d in (1, 2):
+            assert out[d]["n_bigrams"] == 1
+            assert out[d]["avg_nll"] == pytest.approx(math.log(2), abs=1e-4)
+
+    def test_repeated_bigram_scores_zero(self, spark):
+        # every a-context bigram is (a,b): conditional prob 1, NLL 0
+        df = _docs_df(spark, {1: "a b a b a b"})
+        row = textops.bigram_logprob(df).collect()[0]
+        # pairs: (a,b)x3, (b,a)x2 -> c(a,.)=3 c(b,.)=2, all probs 1
+        assert row["n_bigrams"] == 5
+        assert row["avg_nll"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestLengthStats:
+    def test_interpolated_percentiles(self, spark):
+        rows = [(i, "t", "en", n) for i, n in enumerate([1, 2, 3, 10])]
+        rows += [(10, "t", "de", 7)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, n_chars long"
+        )
+        out = {r["lang"]: r for r in textops.length_stats(df).collect()}
+        en = out["en"]
+        assert en["n_docs"] == 4 and en["mean_chars"] == 4.0
+        assert en["p50"] == pytest.approx(2.5)
+        assert en["p90"] == pytest.approx(3 + 0.7 * 7)  # idx 0.9*3=2.7
+        assert en["p99"] == pytest.approx(3 + 0.97 * 7)
+        assert out["de"]["p50"] == 7.0
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from datetime import datetime, timedelta
+
+        from cobweb_spark.operators.stats import sessionize
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, 1, t0),
+            (2, 1, t0 + timedelta(seconds=100)),
+            (3, 1, t0 + timedelta(seconds=2000)),  # 1900s gap > 1800
+            (4, 1, t0 + timedelta(seconds=2100)),
+            (5, 2, t0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        out = {
+            (r["user_id"], r["session_seq"]): r
+            for r in sessionize(df, gap_minutes=30).collect()
+        }
+        assert set(out) == {(1, 1), (1, 2), (2, 1)}
+        assert out[(1, 1)]["n_events"] == 2
+        assert out[(1, 1)]["duration_s"] == 100
+        assert out[(1, 2)]["n_events"] == 2
+        assert out[(1, 2)]["duration_s"] == 100
+        assert out[(2, 1)]["n_events"] == 1
+        assert out[(2, 1)]["duration_s"] == 0
+
+    def test_exact_gap_does_not_split(self, spark):
+        from datetime import datetime, timedelta
+
+        from cobweb_spark.operators.stats import sessionize
+
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, t0), (2, 1, t0 + timedelta(seconds=1800))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        rows = sessionize(df, gap_minutes=30).collect()
+        assert len(rows) == 1 and rows[0]["n_events"] == 2  # strict >
