@@ -62,7 +62,7 @@ def _uniq_qname(prefix: str) -> str:
 # fixture + golden generation (pure Python / pyarrow; idempotent)
 # ---------------------------------------------------------------------------
 
-_MANIFEST_VERSION = 4
+_MANIFEST_VERSION = 5
 
 # crawl-fixture matrix: key → (corpus name, config overrides). Base URLs
 # and robots come from the corpus entry below.
@@ -1118,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN m.media_kind = 'image/png' THEN 'png'
                     WHEN m.media_kind = 'audio/wav' THEN 'wav'
                     WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
+                    WHEN m.media_kind = 'video/y4m' THEN 'y4m'
                     ELSE 'unknown' END AS format,
                m.n_bytes, m.width, m.height, m.sample_rate, m.n_samples
         FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
@@ -1134,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN m.media_kind = 'image/png' THEN 'png'
                     WHEN m.media_kind = 'audio/wav' THEN 'wav'
                     WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
+                    WHEN m.media_kind = 'video/y4m' THEN 'y4m'
                     ELSE 'unknown' END AS format,
                CASE WHEN m.media_kind LIKE 'image/%' THEN m.width END
                    AS width,
@@ -1156,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
 
     # frame decimation counts: n_sampled = ceil(n_samples / 4) for wav
+    # frames and y4m video frames alike (n_samples stores the frame
+    # count for video)
     sql["media_frame_sample"] = f"""
         WITH refs AS (
             SELECT doc_id, s.media_ref AS media_ref FROM (
@@ -1166,10 +1170,11 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN m.media_kind = 'image/png' THEN 'png'
                     WHEN m.media_kind = 'audio/wav' THEN 'wav'
                     WHEN m.media_kind = 'image/jpeg' THEN 'jpeg'
+                    WHEN m.media_kind = 'video/y4m' THEN 'y4m'
                     ELSE 'unknown' END AS format,
-               CASE WHEN m.media_kind = 'audio/wav' THEN m.n_samples END
-                   AS n_samples,
-               CASE WHEN m.media_kind = 'audio/wav'
+               CASE WHEN m.media_kind IN ('audio/wav', 'video/y4m')
+                    THEN m.n_samples END AS n_samples,
+               CASE WHEN m.media_kind IN ('audio/wav', 'video/y4m')
                     THEN (m.n_samples + 3) // 4 END AS n_sampled
         FROM refs r JOIN {rp(media_store)} m USING (media_ref)"""
 

@@ -5,14 +5,16 @@ The reference carries binary bodies as Base64 strings in the content hash
 Here media is first-class: an opaque ``binary`` column plus typed metadata,
 processed by Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for PNG, WAV and JPEG headers (pure-stdlib codecs,
-``functions/media_codecs.py`` — format sniffed from magic bytes, never the
-extension): width/height from the PNG IHDR chunk or the JPEG SOF0/SOF2
-frame header, sample_rate/channels/samples from the RIFF headers, plus a
-16-bin byte histogram feature over the payload. Formats needing codec
-libraries absent from this container (MP3/MP4/GIF) raise
-NotImplementedError under ``strict=True`` and emit null dimensions
-otherwise.
+Decode is REAL for PNG, WAV, baseline JPEG and Y4M video (pure
+numpy/stdlib codecs, ``functions/media_codecs.py`` — format sniffed from
+magic bytes, never the extension): width/height from the PNG IHDR chunk
+or the JPEG SOF frame header, sample_rate/channels/samples from the RIFF
+headers, frame geometry/count from the YUV4MPEG2 stream header, plus a
+16-bin byte histogram feature over the payload. Pixel-level work (resize,
+frame sampling) is likewise real for PNG, baseline-grayscale JPEG, WAV
+PCM and Y4M planes. Formats needing codec libraries absent from this
+container (MP3/MP4/GIF) raise NotImplementedError under ``strict=True``
+and emit null dimensions otherwise.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from ..functions.media_codecs import (
     decode_jpeg_header,
     decode_png_header,
     decode_wav_header,
+    decode_y4m_header,
     sniff_format,
 )
 
@@ -76,7 +79,7 @@ def _kind_for_ref(ref: str) -> str:
         return "image"
     if ref.endswith((".mp3", ".wav", ".ogg")):
         return "audio"
-    if ref.endswith((".mp4", ".webm")):
+    if ref.endswith((".mp4", ".webm", ".y4m")):
         return "video"
     return "binary"
 
@@ -200,6 +203,10 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
                     hdr = decode_wav_header(b)
                     if hdr:
                         rates[i], _ch, samples[i] = hdr
+                elif f == "y4m":
+                    hdr = decode_y4m_header(b)
+                    if hdr:
+                        widths[i], heights[i], rates[i], samples[i] = hdr
                 elif strict:
                     raise NotImplementedError(
                         f"no codec for payload format of "
@@ -245,17 +252,23 @@ def resize_media(
     """Resize image payloads to fit ``max_dim`` (aspect preserved,
     integer-floor target dims — `functions/media_codecs.py:fit_dims`).
 
-    REAL for PNG: pixels decoded, nearest-neighbor resampled (numpy),
-    re-encoded, and the reported new dims come from re-decoding the
-    emitted payload's header — a per-row round-trip proof. JPEG has a
-    header codec but no pixel codec in this container, so its rows get
-    the planned target dims with a null payload (``strict=True`` raises
-    instead — the honest stub boundary). Non-images pass through with
-    null dims. Arrow-batched mapInPandas; per-row work is bounded by
-    payload size, so batches stay executor-sized at any corpus scale.
+    REAL for PNG and JPEG: pixels decoded (PNG: inflate+unfilter; JPEG:
+    baseline-DCT Huffman decode, ``functions/media_codecs.py``),
+    nearest-neighbor resampled (numpy), re-encoded in the same format,
+    and the reported new dims come from re-decoding the emitted
+    payload's header — a per-row round-trip proof. Payloads whose
+    header parses but whose pixel stream this decoder doesn't cover
+    (interlaced/filtered PNGs, progressive or multi-component JPEGs)
+    keep the planned target dims with a null payload; wholly
+    undecodable ones emit null dims — or raise under ``strict=True``.
+    Non-images pass through with null dims. Arrow-batched mapInPandas;
+    per-row work is bounded by payload size, so batches stay
+    executor-sized at any corpus scale.
     """
     from ..functions.media_codecs import (
+        decode_jpeg_pixels,
         decode_png_pixels,
+        encode_gray_jpeg,
         encode_gray_png,
         fit_dims,
         resize_gray_nn,
@@ -275,29 +288,49 @@ def resize_media(
                 b = bytes(payload) if payload is not None else b""
                 f = sniff_format(b)
                 fmt[i] = f
-                if f == "png":
-                    ow, oh = decode_png_header(b)
-                    pix = decode_png_pixels(b)
-                    w[i], h[i] = ow, oh
-                    tw, th = fit_dims(ow, oh, max_dim)
-                    resized = encode_gray_png(
-                        resize_gray_nn(pix, ow, oh, tw, th), tw, th
+                if f not in ("png", "jpeg"):
+                    continue  # non-images: null dims, null payload
+                decode_header, decode_pixels, encode = (
+                    (decode_png_header, decode_png_pixels, encode_gray_png)
+                    if f == "png"
+                    else (
+                        decode_jpeg_header,
+                        decode_jpeg_pixels,
+                        encode_gray_jpeg,
                     )
-                    # report dims by re-decoding our own output
-                    nw[i], nh[i] = decode_png_header(resized)
-                    nb[i] = len(resized)
-                    out_payloads[i] = resized
-                elif f == "jpeg":
+                )
+                wh = decode_header(b)
+                if wh is None:
+                    if strict:
+                        raise ValueError(
+                            f"undecodable {f} header in payload of "
+                            f"{pdf['media_ref'].iloc[i]!r}"
+                        )
+                    continue
+                ow, oh = wh
+                w[i], h[i] = ow, oh
+                tw, th = fit_dims(ow, oh, max_dim)
+                nw[i], nh[i] = tw, th
+                try:
+                    pix = decode_pixels(b)
+                except Exception:
+                    pix = None
+                if pix is None or len(pix) != ow * oh:
                     if strict:
                         raise NotImplementedError(
-                            "no pixel codec for jpeg payload "
-                            f"{pdf['media_ref'].iloc[i]!r}; header-only "
-                            "plan emitted under strict=False"
+                            f"{f} pixel stream of "
+                            f"{pdf['media_ref'].iloc[i]!r} is outside "
+                            "this decoder's coverage; planned dims "
+                            "emitted under strict=False"
                         )
-                    ow, oh = decode_jpeg_header(b)
-                    w[i], h[i] = ow, oh
-                    nw[i], nh[i] = fit_dims(ow, oh, max_dim)
-                # non-images: null dims, null payload
+                    continue  # planned dims, null payload
+                resized = encode(
+                    resize_gray_nn(pix, ow, oh, tw, th), tw, th
+                )
+                # report dims by re-decoding our own output
+                nw[i], nh[i] = decode_header(resized)
+                nb[i] = len(resized)
+                out_payloads[i] = resized
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -332,19 +365,19 @@ def frame_sample_media(
 ) -> DataFrame:
     """Sample every ``every_k``-th frame from time-series payloads.
 
-    REAL for WAV: the PCM data chunk is parsed, every k-th frame (all
-    channels) is taken, and ``sampled_crc32`` checksums the sampled
-    bytes — proving the decimation touched real frame data, not just
-    the header (pytest pins the crc against an independent Python
-    reference). Video containers (mp4/webm) have no codec in this
-    container: their rows emit null counts, or raise under
-    ``strict=True`` — the plumbing (schema, batching, per-kind
-    dispatch) is the real 100 TB shape either way. Images/unknown pass
-    through with nulls.
+    REAL for WAV (audio) and Y4M (video): the WAV PCM data chunk or the
+    Y4M FRAME-delimited planes are parsed, every k-th frame is taken,
+    and ``sampled_crc32`` checksums the sampled bytes — proving the
+    decimation touched real frame data, not just the header (pytest
+    pins the crcs against independent Python references). Compressed
+    video containers (mp4/webm) have no codec in this container: their
+    rows emit null counts, or raise under ``strict=True`` — the
+    plumbing (schema, batching, per-kind dispatch) is the real 100 TB
+    shape either way. Images/unknown pass through with nulls.
     """
     import zlib as _zlib
 
-    from ..functions.media_codecs import wav_pcm_frames
+    from ..functions.media_codecs import wav_pcm_frames, y4m_frames
 
     def run(iterator):
         for pdf in iterator:
@@ -364,6 +397,9 @@ def frame_sample_media(
                         continue
                     _rate, ch, total = hdr
                     frame_bytes = ch * 2
+                    # a truncated payload may carry fewer bytes than the
+                    # header declares; sample what is actually there
+                    total = min(total, len(pcm) // frame_bytes)
                     frames = np.frombuffer(
                         pcm[: total * frame_bytes], dtype=np.uint8
                     ).reshape(total, frame_bytes)
@@ -371,6 +407,14 @@ def frame_sample_media(
                     ns[i] = total
                     nsmp[i] = len(sampled)
                     crc[i] = _zlib.crc32(sampled.tobytes())
+                elif f == "y4m":
+                    frames = y4m_frames(b)
+                    if not frames:
+                        continue
+                    sampled = frames[::every_k]
+                    ns[i] = len(frames)
+                    nsmp[i] = len(sampled)
+                    crc[i] = _zlib.crc32(b"".join(sampled))
                 elif pdf["media_kind"].iloc[i] == "video" or f not in (
                     "png",
                     "jpeg",

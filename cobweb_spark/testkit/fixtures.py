@@ -622,15 +622,22 @@ def write_scale_corpus(path: str, **kw) -> list[str]:
 # ---------------------------------------------------------------------------
 def build_media_store_rows(refs: list[str]) -> list[dict]:
     """One row per unique media_ref with a REAL encoded payload (cycling
-    PNG / WAV / JPEG by ref index) and the generator's metadata stored
-    beside it — the DuckDB oracle reads the metadata, the Spark decoder
-    parses the bytes; agreement proves the decode."""
-    from ..functions.media_codecs import encode_jpeg, encode_png, encode_wav
+    PNG / WAV / JPEG / Y4M video by ref index) and the generator's
+    metadata stored beside it — the DuckDB oracle reads the metadata,
+    the Spark decoder parses the bytes; agreement proves the decode.
+    For video, n_samples carries the frame count and sample_rate the
+    fps numerator (F{fps}:1)."""
+    from ..functions.media_codecs import (
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        encode_y4m,
+    )
 
     rows = []
     for i, ref in enumerate(sorted(set(refs))):
         h = zlib.crc32(ref.encode())
-        if i % 3 == 0:
+        if i % 4 == 0:
             w = 1 + h % 64
             ht = 1 + (h >> 8) % 64
             payload = encode_png(w, ht, seed=h)
@@ -646,9 +653,9 @@ def build_media_store_rows(refs: list[str]) -> list[dict]:
                     n_samples=None,
                 )
             )
-        elif i % 3 == 2:
-            w = 1 + h % 1024
-            ht = 1 + (h >> 10) % 1024
+        elif i % 4 == 2:
+            w = 1 + h % 360
+            ht = 1 + (h >> 10) % 360
             payload = encode_jpeg(w, ht, seed=h)
             rows.append(
                 dict(
@@ -660,6 +667,23 @@ def build_media_store_rows(refs: list[str]) -> list[dict]:
                     height=ht,
                     sample_rate=None,
                     n_samples=None,
+                )
+            )
+        elif i % 4 == 3:
+            w = 8 + h % 48
+            ht = 8 + (h >> 8) % 32
+            nf = 2 + h % 30
+            payload = encode_y4m(w, ht, nf, seed=h)
+            rows.append(
+                dict(
+                    media_ref=ref,
+                    payload=payload,
+                    media_kind="video/y4m",
+                    n_bytes=len(payload),
+                    width=w,
+                    height=ht,
+                    sample_rate=25,
+                    n_samples=nf,
                 )
             )
         else:

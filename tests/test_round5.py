@@ -225,10 +225,15 @@ class TestJpegCodec:
         )
         from cobweb_spark.testkit import fixtures as fx
 
-        refs = [f"m{i}.bin" for i in range(6)]
+        refs = [f"m{i}.bin" for i in range(8)]
         rows = fx.build_media_store_rows(refs)
         kinds = {r["media_kind"] for r in rows}
-        assert kinds == {"image/png", "audio/wav", "image/jpeg"}
+        assert kinds == {
+            "image/png",
+            "audio/wav",
+            "image/jpeg",
+            "video/y4m",
+        }
         store = spark.createDataFrame(rows, MEDIA_STORE_SCHEMA)
         media = store.selectExpr(
             "media_ref AS doc_id", "media_ref", "payload", "media_kind"
@@ -568,6 +573,8 @@ class TestMediaResize:
 
     def test_operator_resizes_store_fixture(self, spark):
         from cobweb_spark.functions.media_codecs import (
+            decode_jpeg_header,
+            decode_jpeg_pixels,
             decode_png_header,
             decode_png_pixels,
         )
@@ -582,20 +589,26 @@ class TestMediaResize:
         media = store.selectExpr(
             "media_ref AS doc_id", "media_ref", "payload", "media_kind"
         )
-        out = {r["media_ref"]: r for r in resize_media(media, max_dim=8).collect()}
+        # strict=True: every image row must now take a REAL pixel path
+        out = {
+            r["media_ref"]: r
+            for r in resize_media(media, max_dim=8, strict=True).collect()
+        }
         for row in rows:
             got = out[row["media_ref"]]
-            if row["media_kind"] == "image/png":
-                # emitted payload is a real PNG at the planned dims
+            if row["media_kind"] in ("image/png", "image/jpeg"):
+                # emitted payload is a real image at the planned dims,
+                # in the same format as the input
                 assert got["new_width"] <= 8 and got["new_height"] <= 8
-                dims = decode_png_header(bytes(got["resized_payload"]))
+                dec_h, dec_p = (
+                    (decode_png_header, decode_png_pixels)
+                    if row["media_kind"] == "image/png"
+                    else (decode_jpeg_header, decode_jpeg_pixels)
+                )
+                dims = dec_h(bytes(got["resized_payload"]))
                 assert dims == (got["new_width"], got["new_height"])
-                assert decode_png_pixels(bytes(got["resized_payload"])) is not None
-            elif row["media_kind"] == "image/jpeg":
-                # header-only plan: dims planned, payload honestly null
-                assert got["new_width"] <= 8 and got["new_height"] <= 8
-                assert got["resized_payload"] is None
-            else:  # wav passes through with null geometry
+                assert dec_p(bytes(got["resized_payload"])) is not None
+            else:  # wav / video pass through with null geometry
                 assert got["new_width"] is None
                 assert got["resized_payload"] is None
 
