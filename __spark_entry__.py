@@ -1562,7 +1562,8 @@ def oracle_sql() -> dict[str, str]:
     sql["text_pack_sequences"] = f"""
         WITH t AS (
             SELECT doc_id,
-                   array_length({TOKENS}, 1)::BIGINT AS n_tokens,
+                   len(list_filter({TOKENS}, x -> x <> ''))::BIGINT
+                       AS n_tokens,
                    md5(doc_id::VARCHAR) AS okey
             FROM documents
         ), c AS (
@@ -1574,9 +1575,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_tokens, start_off,
                (start_off // 64)::BIGINT AS seq_first,
-               ((start_off + n_tokens - 1) // 64)::BIGINT AS seq_last,
-               ((start_off + n_tokens - 1) // 64
-                - start_off // 64 + 1)::BIGINT AS n_seqs
+               (CASE WHEN n_tokens = 0 THEN start_off // 64
+                     ELSE (start_off + n_tokens - 1) // 64
+                END)::BIGINT AS seq_last,
+               (CASE WHEN n_tokens = 0 THEN 0
+                     ELSE (start_off + n_tokens - 1) // 64
+                          - start_off // 64 + 1
+                END)::BIGINT AS n_seqs
         FROM c"""
 
     # unigram-LM scoring: corpus unigram distribution, per-doc mean NLL

@@ -748,9 +748,14 @@ def pack_sequences(
     ``bucket_hex_chars`` so per-bucket rows stay executor-sized.
     """
     okey = F.md5(F.col("doc_id").cast("string"))
+    # count only real tokens: split("") is [""], so unfiltered size()
+    # would bill empty documents one phantom token (advice r5) — and
+    # disagree with the '' filter unigram/bigram scoring applies
     toks = documents.select(
         "doc_id",
-        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(_tokens(), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
         okey.alias("__okey"),
         F.conv(F.substring(okey, 1, bucket_hex_chars), 16, 10)
         .cast("int")
@@ -778,7 +783,10 @@ def pack_sequences(
     start = (base + F.sum("n_tokens").over(w) - F.col("n_tokens")).cast(
         "bigint"
     )
-    # integer `div`, not float floor: exact at any stream length
+    # integer `div`, not float floor: exact at any stream length.
+    # empty documents (n_tokens = 0) occupy no window: seq_last pins to
+    # seq_first and n_seqs to 0 — never evaluate (start_off - 1) div,
+    # where trunc-vs-floor division diverges across engines
     return toks.select(
         "doc_id", "n_tokens", start.alias("start_off")
     ).select(
@@ -786,14 +794,21 @@ def pack_sequences(
         "n_tokens",
         "start_off",
         F.expr(f"start_off div {seq_len}").alias("seq_first"),
-        F.expr(f"(start_off + n_tokens - 1) div {seq_len}").alias(
-            "seq_last"
-        ),
         F.expr(
-            f"(start_off + n_tokens - 1) div {seq_len} "
-            f"- start_off div {seq_len} + 1"
+            f"CASE WHEN n_tokens = 0 THEN start_off div {seq_len} "
+            f"ELSE (start_off + n_tokens - 1) div {seq_len} END"
+        ).alias("seq_last"),
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0 "
+            f"ELSE (start_off + n_tokens - 1) div {seq_len} "
+            f"- start_off div {seq_len} + 1 END"
         ).alias("n_seqs"),
     )
+
+
+# vocab tables at or under this row count broadcast to the scoring join
+# (key-only count first — never a blind broadcast of an unbounded agg)
+UNIGRAM_BROADCAST_MAX_VOCAB = 2_000_000
 
 
 def unigram_logprob(documents: DataFrame) -> DataFrame:
@@ -802,28 +817,42 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     distribution — the cheap stand-in for a KenLM/perplexity filter
     (low avg_nll ≈ stopword-heavy boilerplate, high ≈ rare-token noise).
 
-    Scale shape: the vocabulary is one map-side-combined groupBy(token);
-    the scoring join keys token occurrences to their corpus counts —
-    every probe matches exactly one vocab row, so the join never
-    amplifies. The vocab of a web corpus is Zipf-skewed but SMALL
-    relative to the corpus (|V| ≪ N·len); broadcast it when it fits,
+    Scale shape: the exploded token stream collapses FIRST to
+    ``(doc_id, token) → k`` occurrence counts — a shuffle keyed by the
+    pair, which Zipf-skewed tokens cannot concentrate the way a
+    token-only key would ("the" spreads across all docs). The
+    vocabulary is then one further map-side-combined groupBy over that
+    already-small table, and the scoring join probes ONE row per
+    (doc, distinct-token) instead of one per occurrence — every probe
+    matches exactly one vocab row, so the join never amplifies. The
+    vocab of a web corpus is SMALL relative to the corpus
+    (|V| ≪ N·len): it is broadcast when its row count is verifiably
+    under ``broadcast_max_vocab`` (one key-only count, payload pruned),
     else the shuffle join partial-aggregates cleanly. The corpus total
-    is a scalar driver agg.
+    is a scalar driver agg over the vocab.
     """
-    toks = (
-        documents.select(
-            "doc_id", F.explode(_tokens()).alias("token")
-        ).where(F.col("token") != "")
+    doc_tok = (
+        documents.select("doc_id", F.explode(_tokens()).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
     ).localCheckpoint(eager=False)
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()
-    nll = -F.log(F.col("cnt") / F.lit(float(total)))
+    vocab = doc_tok.groupBy("token").agg(F.sum("k").alias("cnt"))
+    if (
+        vocab.select("token").limit(UNIGRAM_BROADCAST_MAX_VOCAB + 1).count()
+        <= UNIGRAM_BROADCAST_MAX_VOCAB
+    ):
+        vocab = F.broadcast(vocab)
+    total = doc_tok.agg(F.sum("k")).collect()[0][0] or 0
+    nll = -F.log(F.col("cnt") / F.lit(float(max(total, 1))))
     return (
-        toks.join(vocab, "token")
+        doc_tok.join(vocab, "token")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("k") * nll) / F.sum("k"), 4
+            ).alias("avg_nll"),
         )
     )
 
@@ -841,27 +870,34 @@ def temperature_sample(
 
     Scale shape: source statistics are ONE map-side-combined
     groupBy(source) collapsing to |sources| rows (thousands at web
-    scale) — broadcast back onto the corpus, so the accept decision is
-    pure per-row compute with no shuffle of the documents themselves.
-    Determinism: same hash convention as ``hash_split``, so the sample
-    is stable under growth, reordering, and engine choice.
+    scale) — the corpus totals ride along as a lazy single-row
+    cross-join (no driver collect, and an empty corpus yields an empty
+    result instead of a scalar-NULL crash) — broadcast back onto the
+    corpus, so the accept decision is pure per-row compute with no
+    shuffle of the documents themselves. Determinism: same hash
+    convention as ``hash_split``, so the sample is stable under growth,
+    reordering, and engine choice.
     """
     stats = documents.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_source")
     )
-    tot = stats.agg(
-        F.sum(F.pow(F.col("n_source").cast("double"), F.lit(float(tau)))),
-        F.sum("n_source"),
-    ).collect()[0]
-    denom, n_total = float(tot[0]), int(tot[1])
+    totals = stats.agg(
+        F.sum(F.pow(F.col("n_source").cast("double"), F.lit(float(tau))))
+        .alias("__denom"),
+        F.sum("n_source").cast("double").alias("__n_total"),
+    )
     rate = F.least(
         F.lit(1.0),
         F.pow(F.col("n_source").cast("double"), F.lit(float(tau)))
-        / F.lit(denom)
-        * F.lit(float(target_frac) * n_total)
+        / F.col("__denom")
+        * (F.lit(float(target_frac)) * F.col("__n_total"))
         / F.col("n_source").cast("double"),
     )
-    rated = F.broadcast(stats.select("source", "n_source", rate.alias("rate")))
+    rated = F.broadcast(
+        stats.crossJoin(F.broadcast(totals)).select(
+            "source", "n_source", rate.alias("rate")
+        )
+    )
     frac = _h(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
     return documents.join(rated, "source").select(
         "doc_id",
@@ -881,52 +917,88 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     tokens have no bigrams and emit no row.
 
     Scale shape: adjacent pairs come from array slicing inside codegen
-    (no self-join on position); the bigram table is one map-side-
-    combined groupBy, context counts are a second aggregation OVER THE
-    BIGRAM TABLE (|bigrams| ≪ corpus tokens), and both scoring joins
-    key occurrences to exactly one count row — non-amplifying, same
-    join shape as ``unigram_logprob``.
+    (no self-join on position) and collapse FIRST to
+    ``(doc_id, w1, w2) → k`` occurrence counts, so the scoring joins
+    probe one row per (doc, distinct-pair) rather than per occurrence
+    and the shuffle key carries doc_id (Zipf-skew on common pairs
+    spreads across docs). The bigram table is one further map-side-
+    combined groupBy over that table, context counts are a second
+    aggregation OVER THE BIGRAM TABLE (|bigrams| ≪ corpus tokens), and
+    both scoring joins key to exactly one count row — non-amplifying,
+    same join shape as ``unigram_logprob``; the bigram table broadcasts
+    under the same verified row-count threshold.
     """
     arr = F.filter(_tokens(), lambda x: x != "")
-    pairs = documents.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
-                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    pairs = pairs.localCheckpoint(eager=False)
-    big = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
-    )
+    doc_pairs = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+                    F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    ).localCheckpoint(eager=False)
+    big = doc_pairs.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
     ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    if (
+        big.select("w1").limit(UNIGRAM_BROADCAST_MAX_VOCAB + 1).count()
+        <= UNIGRAM_BROADCAST_MAX_VOCAB
+    ):
+        big = F.broadcast(big)
+        ctx = F.broadcast(ctx)
     nll = -F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
     return (
-        pairs.join(big, ["w1", "w2"])
+        doc_pairs.join(big, ["w1", "w2"])
         .join(ctx, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * nll) / F.sum("k"), 4
+            ).alias("avg_nll"),
         )
     )
 
 
-def length_stats(documents: DataFrame) -> DataFrame:
-    """Per-language document-length distribution: count, mean, and exact
-    interpolated p50/p90/p99 of ``n_chars`` — the corpus profile a
-    filtering pipeline reads before setting length cutoffs.
+def length_stats(
+    documents: DataFrame,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-language document-length distribution: count, mean, and
+    p50/p90/p99 of ``n_chars`` — the corpus profile a filtering
+    pipeline reads before setting length cutoffs.
 
-    Scale shape: one groupBy(lang). Exact percentiles over a group are
-    NOT partial-aggregatable (Spark collects each group's values), so
-    at 10^10 rows per language swap ``percentile`` for
-    ``percentile_approx`` (t-digest, mergeable) — the exact version is
-    the oracle-checkable tier at benchmark scale, same positioning as
-    brute-force cosine vs LSH ANN.
+    Two tiers, one groupBy(lang) each:
+
+    * ``approx=False`` (oracle tier): exact interpolated
+      ``percentile`` — NOT partial-aggregatable (Spark buffers each
+      group's values), fine at benchmark scale, a scale-killer at
+      10^10 rows per language.
+    * ``approx=True`` (production tier): ``percentile_approx`` —
+      Greenwald-Khanna sketches that partial-aggregate and merge, so
+      per-executor state is O(accuracy) regardless of group size; rank
+      error ≤ 1/accuracy. Same two-tier positioning as brute-force
+      cosine vs LSH ANN; a pytest band pins approx-vs-exact agreement.
     """
+    if approx:
+        pct = (
+            f"percentile_approx(n_chars, array(0.5, 0.9, 0.99), "
+            f"{int(accuracy)})"
+        )
+        return documents.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.expr(f"{pct}[0]").cast("double").alias("p50"),
+            F.expr(f"{pct}[1]").cast("double").alias("p90"),
+            F.expr(f"{pct}[2]").cast("double").alias("p99"),
+        )
     return documents.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("mean_chars"),

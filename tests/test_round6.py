@@ -241,6 +241,146 @@ class TestResizeRobustness:
         assert row["resized_payload"] is None
 
 
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in sorted(texts.items())],
+        "doc_id long, text string",
+    )
+
+
+class TestPackSequencesEmptyDocs:
+    def test_empty_doc_occupies_no_token_slot(self, spark):
+        from cobweb_spark.operators import textops
+
+        texts = {0: "a b c", 1: "", 2: "   ", 3: "d e"}
+        out = {
+            r["doc_id"]: r
+            for r in textops.pack_sequences(
+                _docs_df(spark, texts), seq_len=4
+            ).collect()
+        }
+        assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+        assert out[1]["n_seqs"] == 0 and out[2]["n_seqs"] == 0
+        assert out[1]["seq_last"] == out[1]["seq_first"]
+        # the stream holds exactly the 5 real tokens
+        assert sum(r["n_tokens"] for r in out.values()) == 5
+        ends = {r["start_off"] + r["n_tokens"] for r in out.values()}
+        assert max(ends) == 5
+
+
+class TestTemperatureSampleEmpty:
+    def test_empty_corpus_yields_empty_result(self, spark):
+        from cobweb_spark.operators import textops
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, source string"
+        )
+        out = textops.temperature_sample(empty).collect()
+        assert out == []
+
+    def test_nonempty_unchanged(self, spark):
+        from cobweb_spark.operators import textops
+
+        rows = [(i, "w", "big" if i < 8 else "small") for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = textops.temperature_sample(df, tau=0.5, target_frac=0.5)
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert len(got) == 10
+        assert got[0]["n_source"] == 8 and got[9]["n_source"] == 2
+        # small source upweighted: rate_small > rate_big
+        assert got[9]["rate"] > got[0]["rate"]
+
+
+class TestLengthStatsApproxTier:
+    def test_approx_within_rank_band_of_exact(self, spark):
+        import random
+
+        from cobweb_spark.operators import textops
+
+        rng = random.Random(5)
+        rows = [
+            (f"d{i}", rng.choice(["en", "de"]), int(rng.lognormvariate(6, 1)))
+            for i in range(4000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, lang string, n_chars int")
+        exact = {r["lang"]: r for r in textops.length_stats(df).collect()}
+        approx = {
+            r["lang"]: r
+            for r in textops.length_stats(
+                df, approx=True, accuracy=10_000
+            ).collect()
+        }
+        for lang, ex in exact.items():
+            ap = approx[lang]
+            assert ap["n_docs"] == ex["n_docs"]
+            assert ap["mean_chars"] == ex["mean_chars"]
+            # rank error ≤ 1/accuracy → with n≈2000 ≪ accuracy the
+            # sketch is exact up to interpolation: band each percentile
+            # by 2% of the exact value (same spirit as the ANN recall
+            # floor)
+            for p in ("p50", "p90", "p99"):
+                assert abs(ap[p] - ex[p]) <= max(0.02 * ex[p], 1.0), (
+                    lang,
+                    p,
+                    ap[p],
+                    ex[p],
+                )
+
+
+class TestLogprobPreAggParity:
+    """The round-6 pre-aggregated scoring joins must score identically
+    to a directly computed per-token/per-pair model."""
+
+    def test_unigram_matches_manual(self, spark):
+        import math
+
+        from cobweb_spark.operators import textops
+
+        texts = {0: "a a b", 1: "b c", 2: "a"}
+        # corpus counts: a=3, b=2, c=1, total=6
+        def nll(t, c):
+            return -math.log(c / 6.0)
+
+        want = {
+            0: (3, (2 * nll("a", 3) + nll("b", 2)) / 3),
+            1: (2, (nll("b", 2) + nll("c", 1)) / 2),
+            2: (1, nll("a", 3)),
+        }
+        out = {
+            r["doc_id"]: r
+            for r in textops.unigram_logprob(
+                _docs_df(spark, texts)
+            ).collect()
+        }
+        for d, (n, avg) in want.items():
+            assert out[d]["n_tokens"] == n
+            assert abs(out[d]["avg_nll"] - round(avg, 4)) < 1e-9
+
+    def test_bigram_matches_manual(self, spark):
+        import math
+
+        from cobweb_spark.operators import textops
+
+        texts = {0: "a b a b", 1: "a b c", 2: "x"}
+        # bigrams: (a,b)=3, (b,a)=1, (b,c)=1; ctx a=3, b=2
+        out = {
+            r["doc_id"]: r
+            for r in textops.bigram_logprob(
+                _docs_df(spark, texts)
+            ).collect()
+        }
+        ab = -math.log(3 / 3)
+        ba = -math.log(1 / 2)
+        bc = -math.log(1 / 2)
+        assert out[0]["n_bigrams"] == 3
+        assert abs(out[0]["avg_nll"] - round((2 * ab + ba) / 3, 4)) < 1e-9
+        assert out[1]["n_bigrams"] == 2
+        assert abs(out[1]["avg_nll"] - round((ab + bc) / 2, 4)) < 1e-9
+        assert 2 not in out  # single-token doc emits no row
+
+
 class TestDecodeMediaY4m:
     def test_video_rows_decode_real_header(self, spark):
         from cobweb_spark.operators.multimodal import (

@@ -89,6 +89,9 @@ def main(out_path: str = "BENCH/PLANS.md"):
     sections["temperature mixing (broadcast rates)"] = plan_of(
         textops.temperature_sample(sf_docs)
     )
+    sections["unigram scoring (pre-agg probe + broadcast vocab)"] = plan_of(
+        textops.unigram_logprob(sf_docs)
+    )
 
     checks = []
     meta_plan = sections["scan pruning (metadata cols only)"]
@@ -135,6 +138,20 @@ def main(out_path: str = "BENCH/PLANS.md"):
             "never shuffle)",
             "BroadcastHashJoin"
             in sections["temperature mixing (broadcast rates)"],
+        )
+    )
+    # round-6 join hygiene: the unigram scoring join must probe the
+    # PRE-AGGREGATED (doc_id, token, k) table against a BROADCAST vocab
+    # — the only hash shuffles left are the vocab aggregation and the
+    # final per-doc aggregation; the Zipf-skewed token stream itself is
+    # never re-keyed by token alone
+    uni_plan = sections["unigram scoring (pre-agg probe + broadcast vocab)"]
+    checks.append(
+        (
+            "unigram scoring: broadcast vocab, ≤2 hash shuffles "
+            "(no token-keyed probe shuffle)",
+            "BroadcastHashJoin" in uni_plan
+            and uni_plan.count("hashpartitioning") <= 2,
         )
     )
 
