@@ -55,5 +55,37 @@ import numpy  # noqa: F401,E402  (preload: inherited by forked workers)
 
 from pyspark.daemon import manager  # noqa: E402
 
+
+def _install_forklog(path: str) -> None:
+    """Respawn-churn diagnostics (opt-in via SPARK_GRAFT_FORKLOG=<path>):
+    append one line per worker fork — timestamp + child pid — so a bench
+    run can count respawns and correlate them with stage boundaries.
+    Wraps os.fork for this process only; a single O_APPEND write in the
+    child, no locks."""
+    import time
+
+    real_fork = os.fork
+
+    def logged_fork():
+        pid = real_fork()
+        if pid == 0:
+            try:
+                fd = os.open(
+                    path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644
+                )
+                os.write(
+                    fd, f"{time.time():.3f} {os.getpid()}\n".encode()
+                )
+                os.close(fd)
+            except OSError:
+                pass
+        return pid
+
+    os.fork = logged_fork
+
+
 if __name__ == "__main__":
+    _forklog = os.environ.get("SPARK_GRAFT_FORKLOG")
+    if _forklog:
+        _install_forklog(_forklog)
     manager()
