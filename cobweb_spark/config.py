@@ -115,6 +115,13 @@ class CrawlConfig:
     # snapshot/resume
     state_dir: str | None = None
     checkpoint_every: int = 1  # waves between snapshot commits
+    # pipeline snapshot commits on a background thread: wave N+1's compute
+    # overlaps wave N's durable write (every commit input is an immutable
+    # checkpointed plan, so the write is race-free; a single FIFO worker
+    # preserves the _LATEST ordering and errors fail the crawl at the
+    # next wave boundary). The filter bank is the one mutable input —
+    # it is staged synchronously before enqueue.
+    async_commits: bool = True
     max_waves: int = 10_000
 
     def resolved_internal_urls(self, base_url: str | None) -> list[str]:

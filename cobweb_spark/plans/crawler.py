@@ -20,6 +20,7 @@ WATCH/MULTI + setnx locks (``lib/crawl.rb:241-291``).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -370,8 +371,6 @@ class SparkCrawler:
             if self.prefilter is not None and man.get("has_filters") and (
                 man["counters"].get("bank_synced", True)
             ):
-                import os
-
                 self.prefilter.load(
                     os.path.join(self.store._wave_dir(latest), "filters")
                 )
@@ -400,9 +399,27 @@ class SparkCrawler:
         last_cut = last_edges = last_cands = None
         last_counters: dict = {}
 
+        import functools
         import time as _time
 
         t_started = _time.time()
+
+        # async commit pipeline: wave N+1 computes while wave N's snapshot
+        # writes drain on a single FIFO worker (plans/state.py). Every
+        # per-wave store call below routes through _commit; the pipeline
+        # is drained before any post-loop store read/write so resume and
+        # exactly-once semantics are byte-identical to the sync path.
+        committer = None
+        if self.store is not None and cfg.async_commits:
+            from .state import CommitPipeline
+
+            committer = CommitPipeline()
+
+        def _commit(fn, *a, **kw):
+            if committer is None:
+                fn(*a, **kw)
+            else:
+                committer.submit(functools.partial(fn, *a, **kw))
 
         if cfg.precompute_edges:
             # one extraction pass over the corpus, with every
@@ -742,11 +759,17 @@ class SparkCrawler:
             # second time each wave. When the bloom tier is engaged,
             # reject_seen already checkpointed the flagged stream (its
             # split needs it) — the residual filter/anti-join/union tail
-            # is cheap to rescan. Eager: bounded executor memory beats
-            # saving a job (lazy variants stacked python stages into one
-            # oversized job and OOM'd small executors).
+            # is cheap to rescan. Spans path: EAGER — bounded executor
+            # memory beats saving a job (lazy variants stacked python
+            # stages into one oversized job and OOM'd small executors).
+            # Edges path (round 6): LAZY — the pipeline is pure JVM
+            # joins/aggs, so the ordering bucket-count agg materializes
+            # the checkpoint inside its own job: one less serial job per
+            # wave with no python-stage stacking to fear.
             if not engaged:
-                fresh = fresh.localCheckpoint()
+                fresh = fresh.localCheckpoint(
+                    eager=self._edges_sel is None
+                )
             _t_flag = _time.time()
             if cfg.host_budget is None:
                 # plain BFS: parent_fetch_order spans exactly
@@ -884,9 +907,19 @@ class SparkCrawler:
                     "bank_synced": (not bank_lagging)
                     and bank_synced_parts >= len(seen_parts),
                 }
-                self.store.append_wave_metrics(metrics[-1])
+                _commit(self.store.append_wave_metrics, metrics[-1])
                 if limit_hit or wave % max(cfg.checkpoint_every, 1) == 0:
-                    self.store.commit_wave(
+                    # the bank is the one commit input the NEXT wave
+                    # mutates: stage it synchronously at the boundary,
+                    # the pipeline adopts the staged dir by rename
+                    filters_dir = None
+                    if committer is not None and self.prefilter is not None:
+                        filters_dir = os.path.join(
+                            self.store.dir, f"_filters_stage-{wave:06d}"
+                        )
+                        self.prefilter.save(filters_dir)
+                    _commit(
+                        self.store.commit_wave,
                         wave_id=wave,
                         frontier=frontier,
                         seen=seen,
@@ -895,7 +928,10 @@ class SparkCrawler:
                         candidates=candidates,
                         counters=last_counters,
                         metrics=metrics[-1],
-                        filters_bank=self.prefilter,
+                        filters_bank=(
+                            self.prefilter if committer is None else None
+                        ),
+                        filters_dir=filters_dir,
                     )
                     last_snap = wave
                 else:
@@ -903,7 +939,8 @@ class SparkCrawler:
                     # still persisted (cheap appends): on resume from the
                     # last manifest, load_parts finds every wave ≤ latest —
                     # no fetch_order holes with checkpoint_every > 1
-                    self.store.commit_parts(
+                    _commit(
+                        self.store.commit_parts,
                         wave_id=wave,
                         pages=cut,
                         edges=edges_wave,
@@ -916,6 +953,13 @@ class SparkCrawler:
         # post-loop drain/commit/result jobs get their own group so the
         # event log doesn't attribute them to the final wave
         spark.sparkContext.setLocalProperty("spark.jobGroup.id", "drain")
+
+        # every per-wave commit must be durable before the finished /
+        # cancel-seal store writes (and before crawl() returns) — this
+        # re-raises the first failed async commit
+        if committer is not None:
+            committer.close()
+            committer = None
 
         def _union(parts: list[DataFrame], proto: DataFrame) -> DataFrame:
             if not parts:

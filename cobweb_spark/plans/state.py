@@ -26,6 +26,65 @@ from pyspark.sql import functions as F
 TABLES = ("frontier", "seen", "pages", "edges", "candidates")
 
 
+class CommitPipeline:
+    """Single-worker FIFO pipeline for snapshot commits.
+
+    Wave N+1's compute overlaps wave N's durable write: every commit
+    input is an immutable plan over checkpointed RDDs, so running the
+    write on a second thread races nothing (Spark actions are
+    thread-safe); ONE worker preserves commit order, which keeps the
+    ``_LATEST`` pointer monotonic exactly as in the synchronous path. A
+    failed commit is re-raised at the next ``submit``/``drain`` so the
+    crawl fails at a wave boundary instead of silently losing
+    durability. The same pipelining an Iceberg writer gets from
+    committing snapshot N while the next batch computes."""
+
+    def __init__(self) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="commit-pipeline", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            try:
+                if self._err is None:
+                    fn()
+            except BaseException as exc:  # re-raised on the crawl thread
+                self._err = exc
+            finally:
+                self._q.task_done()
+
+    def submit(self, fn) -> None:
+        self._raise_pending()
+        self._q.put(fn)
+
+    def drain(self) -> None:
+        """Block until every enqueued commit is durable; re-raise the
+        first failure."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self._q.join()
+        self._q.put(None)
+        self._thread.join(timeout=60)
+        self._raise_pending()
+
+    def _raise_pending(self) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async snapshot commit failed") from err
+
+
 def _partition_lineage(df: DataFrame) -> list[dict]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("pid"))
@@ -56,7 +115,13 @@ class SnapshotStore:
         edges: DataFrame | None = None,
         candidates: DataFrame | None = None,
         filters_bank=None,
+        filters_dir: str | None = None,
     ) -> str:
+        """``filters_bank``: save the live bank into the snapshot (caller
+        guarantees no concurrent mutation). ``filters_dir``: adopt an
+        already-staged bank directory by rename — the async-commit path,
+        where the bank is staged synchronously at the wave boundary
+        because the NEXT wave mutates it while this commit drains."""
         wdir = self._wave_dir(wave_id)
         tmp = wdir + ".tmp"
         if os.path.exists(tmp):
@@ -81,6 +146,8 @@ class SnapshotStore:
             )
         if filters_bank is not None:
             filters_bank.save(os.path.join(tmp, "filters"))
+        elif filters_dir is not None:
+            os.rename(filters_dir, os.path.join(tmp, "filters"))
 
         manifest = {
             "wave_id": wave_id,
@@ -90,7 +157,8 @@ class SnapshotStore:
                 n: os.path.join(wdir, n) for n, df in tables.items() if df is not None
             },
             "lineage": lineage,
-            "has_filters": filters_bank is not None,
+            "has_filters": filters_bank is not None
+            or filters_dir is not None,
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)

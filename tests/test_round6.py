@@ -241,6 +241,104 @@ class TestResizeRobustness:
         assert row["resized_payload"] is None
 
 
+class TestAsyncCommits:
+    """cfg.async_commits pipelines snapshot writes on a background FIFO
+    worker; the store contents and resume behavior must be
+    byte-equivalent to the synchronous path."""
+
+    def _crawl(self, spark, corpus, tmp_path, tag, **cfg_kw):
+        from cobweb_spark.config import CrawlConfig
+        from cobweb_spark.plans.crawler import SparkCrawler
+        from cobweb_spark.plans.state import SnapshotStore
+        from cobweb_spark.sources.corpus import corpus_df
+        from cobweb_spark.testkit import fixtures as fx
+
+        docs = corpus_df(spark, corpus)
+        store = SnapshotStore(spark, str(tmp_path / tag))
+        res = SparkCrawler(
+            spark, docs, CrawlConfig(**cfg_kw), snapshot_store=store
+        ).crawl(fx.SAMPLE_SITE_BASE)
+        return res, store
+
+    def test_store_equivalent_to_sync(self, spark, sample_site_corpus, tmp_path):
+        import json
+        import os
+
+        results = {}
+        for tag, async_on in (("sync", False), ("async", True)):
+            res, store = self._crawl(
+                spark,
+                sample_site_corpus,
+                tmp_path,
+                tag,
+                async_commits=async_on,
+            )
+            latest = store.latest_wave()
+            with open(
+                os.path.join(store._wave_dir(latest), "manifest.json")
+            ) as f:
+                man = json.load(f)
+            pages = sorted(
+                (r["fetch_order"], r["url"])
+                for w in range(latest + 1)
+                for r in store.load_table(w, "pages").collect()
+            )
+            results[tag] = (
+                latest,
+                man["counters"],
+                man["lineage"],
+                pages,
+                res.pages.count(),
+            )
+        assert results["sync"] == results["async"]
+
+    def test_resume_from_async_store(self, spark, sample_site_corpus, tmp_path):
+        from cobweb_spark.config import CrawlConfig
+        from cobweb_spark.plans.crawler import SparkCrawler
+        from cobweb_spark.plans.state import SnapshotStore
+        from cobweb_spark.sources.corpus import corpus_df
+        from cobweb_spark.testkit import fixtures as fx
+
+        docs = corpus_df(spark, sample_site_corpus)
+        full = SparkCrawler(spark, docs, CrawlConfig()).crawl(
+            fx.SAMPLE_SITE_BASE
+        )
+        want = sorted(
+            (r["fetch_order"], r["url"]) for r in full.pages.collect()
+        )
+        store = SnapshotStore(spark, str(tmp_path / "astate"))
+        SparkCrawler(
+            spark,
+            docs,
+            CrawlConfig(max_waves=2, async_commits=True),
+            snapshot_store=store,
+        ).crawl(fx.SAMPLE_SITE_BASE)
+        resumed = SparkCrawler(
+            spark,
+            docs,
+            CrawlConfig(async_commits=True),
+            snapshot_store=store,
+        ).crawl(fx.SAMPLE_SITE_BASE, resume=True)
+        got = sorted(
+            (r["fetch_order"], r["url"]) for r in resumed.pages.collect()
+        )
+        assert got == want
+
+    def test_pipeline_error_propagates(self):
+        from cobweb_spark.plans.state import CommitPipeline
+
+        p = CommitPipeline()
+        p.submit(lambda: (_ for _ in ()).throw(ValueError("boom")))
+        with pytest.raises(RuntimeError, match="async snapshot commit"):
+            p.drain()
+        # pipeline stays usable after the error is surfaced
+        done = []
+        p.submit(lambda: done.append(1))
+        p.drain()
+        p.close()
+        assert done == [1]
+
+
 def _docs_df(spark, texts):
     return spark.createDataFrame(
         [(i, t) for i, t in sorted(texts.items())],
