@@ -153,16 +153,21 @@ def main() -> dict:
         timings["crawl_scale_polite"] = min(polite_runs)
     # r1-compatible 8-seed run (same corpus, ramp-up-wave-dominated
     # workload) so BENCH_r01's number stays comparable across rounds
+    seed8_runs = []
     if os.environ.get("COBWEB_BENCH_8SEED", "1") == "1":
         corpus8, seeds8 = cached_scale_corpus(
             **{**SCALE_PARAMS, "n_seeds": 8}
         )
         docs8 = load_documents(spark, corpus8)
-        t0 = time.time()
-        c8 = SparkCrawler(spark, docs8, cfg.with_(seed_urls=seeds8))
-        c8.crawl(None).pages.count()
-        timings["crawl_scale_8seed"] = round(time.time() - t0, 3)
-        c8.close()
+        # best-of-N like every other crawl leg (round-5 verdict: the
+        # single-shot 8seed number was the one weather loophole left)
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            c8 = SparkCrawler(spark, docs8, cfg.with_(seed_urls=seeds8))
+            c8.crawl(None).pages.count()
+            seed8_runs.append(round(time.time() - t0, 3))
+            c8.close()
+        timings["crawl_scale_8seed"] = min(seed8_runs)
     spark.catalog.clearCache()
 
     # --- secondary operators: best-of-N like the headline (round-3
@@ -172,6 +177,7 @@ def main() -> dict:
         "crawl_scale": crawl_runs,
         "crawl_scale_stream": stream_runs,
         "crawl_scale_polite": polite_runs,
+        "crawl_scale_8seed": seed8_runs,
     }
 
     def timed(name: str, fn) -> None:
