@@ -100,6 +100,16 @@ class SnapshotStore:
         self.spark = spark
         self.dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+        # staged-but-never-adopted scratch (a crash or failed async commit
+        # between stage and rename — round-6 advice) must not accumulate
+        # next to the wave dirs; committed state never lives under these
+        # prefixes, so removal is always safe at open time
+        for entry in os.listdir(state_dir):
+            if entry.startswith(
+                ("_filters_stage-", "_run_tmp-", "_wm_tmp-", "_wl_tmp-")
+            ) or entry.endswith(".tmp"):
+                p = os.path.join(state_dir, entry)
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
 
     def _wave_dir(self, wave_id: int) -> str:
         return os.path.join(self.dir, f"wave={wave_id:06d}")

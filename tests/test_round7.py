@@ -1,0 +1,90 @@
+"""Round-7 optimization tests.
+
+The dictionary edge layout (``crawler._ensure_edges`` ``use_dict``
+branch) restructures the precompute expand path — dedup/anti-join on
+8-byte keys, (link, host) re-attached post-chain, robots deferred to
+unique links — and must be result-identical to the classic path on
+every surface (pages, seen, edges, wave count), in both plain-BFS and
+politeness-budget modes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cobweb_spark.config import CrawlConfig
+from cobweb_spark.plans.crawler import SparkCrawler
+from cobweb_spark.sources.corpus import cached_scale_corpus, load_documents
+
+
+@pytest.fixture(scope="module")
+def small_scale(spark):
+    path, seeds = cached_scale_corpus(
+        n_hosts=12,
+        pages_per_host=40,
+        mega_host_factor=4,
+        out_degree=8,
+        media_ratio=0.2,
+        cross_host_prob=0.1,
+        seed=11,
+        n_seeds=4,
+    )
+    return load_documents(spark, path), seeds
+
+
+def _crawl_surface(spark, docs, seeds, **kw):
+    base = dict(
+        internal_urls=["http://*"],
+        seed_urls=seeds,
+        store_inbound_links=False,
+        precompute_edges=True,
+        use_seen_prefilter=True,
+        prefilter_min_seen=500,
+    )
+    base.update(kw)
+    crawler = SparkCrawler(spark, docs, CrawlConfig(**base))
+    res = crawler.crawl(None)
+    pages = sorted(
+        tuple(r)
+        for r in res.pages.select(
+            "url",
+            "host",
+            "depth",
+            "discovery_order",
+            "parent",
+            "fetch_order",
+            "status_code",
+            "mime_type",
+        ).collect()
+    )
+    seen = sorted(r["url"] for r in res.seen.collect())
+    edges = sorted(tuple(r) for r in res.edges.collect())
+    mode = "dict" if crawler._edge_dict is not None else "classic"
+    crawler.close()
+    return mode, pages, seen, edges, res.n_waves
+
+
+class TestDictEdgeParity:
+    def test_plain_bfs_parity(self, spark, small_scale):
+        docs, seeds = small_scale
+        m_dict, *dict_surface = _crawl_surface(spark, docs, seeds)
+        # store_inbound_links=True forces the classic string edge table
+        m_cls, *cls_surface = _crawl_surface(
+            spark, docs, seeds, store_inbound_links=True
+        )
+        assert (m_dict, m_cls) == ("dict", "classic")
+        assert dict_surface == cls_surface
+
+    def test_budget_parity(self, spark, small_scale):
+        # politeness admission + the unified bucketed discovery_order
+        # assignment (round 7 removed the budget path's range-sampling
+        # zip) must stay rank-exact through both edge layouts
+        docs, seeds = small_scale
+        m_dict, *dict_surface = _crawl_surface(
+            spark, docs, seeds, host_budget=23
+        )
+        m_cls, *cls_surface = _crawl_surface(
+            spark, docs, seeds, host_budget=23, store_inbound_links=True
+        )
+        assert (m_dict, m_cls) == ("dict", "classic")
+        assert dict_surface == cls_surface

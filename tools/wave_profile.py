@@ -48,6 +48,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     corpus_path, seeds = cached_scale_corpus(
@@ -82,6 +84,14 @@ def main() -> None:
     # parse the event log: job counts + wall per job group
     jobs = defaultdict(list)
     path = os.path.join(evdir, app_id)
+    if not os.path.exists(path):
+        # eventlog v2 layout: a per-app directory of events_* files
+        import glob
+
+        cands = glob.glob(
+            os.path.join(evdir, f"eventlog_v2_{app_id}", "events_*")
+        ) or glob.glob(os.path.join(evdir, "*", "events_*"))
+        path = sorted(cands)[0]
     job_group = {}
     job_t0 = {}
     for line in open(path):
