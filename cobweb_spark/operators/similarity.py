@@ -14,6 +14,8 @@ for small Q; the LSH variant turns it into an equi-join on bucket id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,6 +92,50 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def _bucket_udf(dim: int, n_planes: int, seeds: list[int]):
+    """Vectorized sign-LSH bucket assignment: embedding → array<int> of
+    one bucket per table (seed).
+
+    Replaces the per-table Catalyst expression tree (round 7): n_tables ×
+    n_planes `aggregate(zip_with(...))` folds over 64-literal plane
+    arrays built a ~450 KB physical plan whose lambdas evaluate
+    INTERPRETED per element (higher-order functions have no codegen) —
+    guide §4.2: hand whole Arrow batches to numpy instead. One matmul
+    against the (dim × n_tables·n_planes) plane matrix computes every
+    bit. Sign parity with the JVM/DuckDB sequential fold is exact: a
+    64-term float64 dot differs from the sequential sum by ≪ 1e-10, so
+    any |dot| ≥ 1e-9 has the same sign under both summation orders;
+    the (never observed) |dot| < 1e-9 margin re-computes that one dot
+    with the exact left-to-right double fold the SQL expression uses.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mats = np.array(
+        [_hyperplanes(dim, n_planes, seed=s) for s in seeds],
+        dtype=np.float64,
+    )  # (T, P, D)
+    mat = mats.reshape(-1, dim).T  # (D, T*P)
+    n_tables = len(seeds)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        e = np.array(emb.tolist(), dtype=np.float64)  # (N, D)
+        if e.size == 0:
+            return pd.Series([], dtype=object)
+        dots = e @ mat  # (N, T*P)
+        for i, j in np.argwhere(np.abs(dots) < 1e-9):
+            acc = 0.0
+            for k in range(dim):
+                acc += float(e[i, k]) * float(mat[k, j])
+            dots[i, j] = 0.0 if acc >= 0.0 else -1.0
+        bits = (dots >= 0.0).reshape(len(e), n_tables, n_planes)
+        b = (bits * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int | None = None) -> DataFrame:
     """Add a sign-LSH bucket id: bit_p = dot(v, plane_p) >= 0.
 
@@ -99,13 +145,10 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int | None = None)
     """
     if dim is None:
         dim = len(embeddings.select("embedding").first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (_dot(F.col("embedding"), plane_col) >= 0).cast("int")
-        bucket = bucket + bit * F.lit(1 << p)
-    return embeddings.withColumn("bucket", bucket)
+    bu = _bucket_udf(dim, n_planes, [7])
+    return embeddings.withColumn(
+        "bucket", F.element_at(bu("embedding"), 1)
+    )
 
 
 def lsh_ann_topk(
@@ -196,27 +239,12 @@ def lsh_ann_topk_multitable(
     if dim is None:
         dim = len(embeddings.select("embedding").first()[0])
 
-    def bucket_expr(seed):
-        planes = _hyperplanes(dim, n_planes, seed=seed)
-        bucket = F.lit(0)
-        for p, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            bit = (_dot(F.col("embedding"), plane_col) >= 0).cast("int")
-            bucket = bucket + bit * F.lit(1 << p)
-        return bucket
-
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                bucket_expr(7 + t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    bu = _bucket_udf(dim, n_planes, [7 + t for t in range(n_tables)])
     bucketed = embeddings.select(
-        "vec_id", "embedding", F.explode(tables).alias("tb")
-    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+        "vec_id",
+        "embedding",
+        F.posexplode(bu("embedding")).alias("table_id", "bucket"),
+    )
     q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -296,27 +324,12 @@ def semantic_dedup_pairs(
     if dim is None:
         dim = len(embeddings.select("embedding").first()[0])
 
-    def bucket_expr(seed):
-        planes = _hyperplanes(dim, n_planes, seed=seed)
-        bucket = F.lit(0)
-        for p, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(float(x)) for x in plane])
-            bit = (_dot(F.col("embedding"), plane_col) >= 0).cast("int")
-            bucket = bucket + bit * F.lit(1 << p)
-        return bucket
-
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                bucket_expr(7 + t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    bu = _bucket_udf(dim, n_planes, [7 + t for t in range(n_tables)])
     bucketed = embeddings.select(
-        "vec_id", "embedding", F.explode(tables).alias("tb")
-    ).select("vec_id", "embedding", "tb.table_id", "tb.bucket")
+        "vec_id",
+        "embedding",
+        F.posexplode(bu("embedding")).alias("table_id", "bucket"),
+    )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),

@@ -45,6 +45,26 @@ def _tokens(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when its scan has fewer
+    splits than cores (guide §2.5 "input skew": one small/unsplittable
+    file serializes every fused downstream stage into one task — the
+    round-start profile showed the whole tokenize→md5→minhash pipeline
+    running 12 s in a single task on the benchmark documents file).
+    No-op when the scan is already wide (a web-scale corpus has
+    thousands of splits), so nothing is shuffled at scale; results are
+    unchanged (every consumer is a keyed aggregation/join)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= min(target, 16):
+        return df
+    return df.repartition(target)
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish subword proxy count (runs of
     letters / digits / single punctuation — a tokenizer-shaped regex)."""
@@ -144,7 +164,7 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 def _token_hashes(documents: DataFrame) -> DataFrame:
     """distinct (doc_id, token) with the 60-bit token hash."""
-    toks = documents.select(
+    toks = _widen_scan(documents).select(
         "doc_id", F.explode(_tokens()).alias("token")
     ).where(F.col("token") != "")
     return toks.distinct().withColumn("th", _h(F.col("token")))
@@ -202,6 +222,23 @@ def lsh_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_sig")
+    # pin the banded signatures before the self-join: the broadcast side
+    # would otherwise re-execute the whole tokenize→hash→minhash pipeline
+    # (the round-start plan shows the scan→explode→agg subtree TWICE —
+    # broadcast and shuffle forms share no exchange to reuse); with the
+    # lazy checkpoint both sides read one materialization (guide §1.2:
+    # don't compute things twice). The explicit bucket-keyed repartition
+    # does double duty: AQE would coalesce the ~1 MB post-signature
+    # exchange to ONE partition, serializing the pair-emitting probe into
+    # a single 10 s task (measured, BENCH/r07/evlog_lsh.json s10) — a
+    # user-specified partition count is exempt from coalescing, and
+    # keying it on the join key keeps the self-join exchange-free.
+    n_part = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    stacked = stacked.repartition(
+        n_part, "band_id", "band_sig"
+    ).localCheckpoint(eager=False)
     a = stacked.alias("a")
     c = stacked.alias("c")
     return (
@@ -239,10 +276,15 @@ def connected_components(
     minimum node id. Raises if ``max_iters`` rounds don't reach the
     fixpoint (components deeper than max_iters — not a near-dup shape).
     """
-    both = edges.select(
+    # pin the pair generation ONCE: the symmetric union below references
+    # the edges plan twice (plain + swapped projection), and without the
+    # pin the upstream pair pipeline (LSH band join / exact-cosine gate)
+    # executes twice inside the checkpoint job (round 7, guide §1.2)
+    edges = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint()
+    both = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     # the edge list is reused every round: partition once on the probe key
     both = both.repartition("d").localCheckpoint()
@@ -252,37 +294,37 @@ def connected_components(
         .withColumn("keeper", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        nbr_min = (
-            both.join(
-                labels.select(
-                    F.col("node").alias("d"),
-                    F.col("keeper").alias("d_keeper"),
-                ),
-                "d",
-            )
-            .groupBy(F.col("s").alias("node"))
-            .agg(F.min("d_keeper").alias("nbr_min"))
-        )
+    prev_sum = object()  # sentinel ≠ any sum (incl. the empty-graph null)
+    for i in range(max_iters + 1):
+        # one round = one co-partitioned join + one map-side-combined
+        # groupBy over (neighbor labels ∪ own labels): min(own, min of
+        # neighbors) without the second (labels ⋈ nbr_min) join the
+        # round-start version paid. Convergence is read off the exact
+        # label-sum: labels only ever decrease, so the sum strictly
+        # decreases until the fixpoint — one agg collect per round that
+        # also materializes the lazy checkpoint (one Spark job per round
+        # instead of two; round 7).
+        nbr = both.join(
+            labels.select(
+                F.col("node").alias("d"), F.col("keeper").alias("k")
+            ),
+            "d",
+        ).select(F.col("s").alias("node"), "k")
         updated = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("keeper"),
-                    F.coalesce("nbr_min", F.col("keeper")),
-                ).alias("keeper"),
-                (
-                    F.coalesce("nbr_min", F.col("keeper"))
-                    < F.col("keeper")
-                ).alias("changed"),
+            nbr.unionByName(
+                labels.select("node", F.col("keeper").alias("k"))
             )
-            .localCheckpoint()
+            .groupBy("node")
+            .agg(F.min("k").alias("keeper"))
+            .localCheckpoint(eager=False)
         )
-        n_changed = updated.filter("changed").count()
-        labels = updated.drop("changed")
-        if n_changed == 0:
+        cur = updated.agg(
+            F.sum(F.col("keeper").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = updated
+        if cur == prev_sum:
             return labels
+        prev_sum = cur
     raise RuntimeError(
         f"connected_components: no fixpoint in {max_iters} rounds"
     )
@@ -988,16 +1030,28 @@ def length_stats(
       cosine vs LSH ANN; a pytest band pins approx-vs-exact agreement.
     """
     if approx:
+        # ONE array-valued sketch aggregate, elements selected after the
+        # agg — the per-percentile F.expr variant built and merged the
+        # Greenwald-Khanna sketch three times per group (round-6 advice)
         pct = (
             f"percentile_approx(n_chars, array(0.5, 0.9, 0.99), "
             f"{int(accuracy)})"
         )
-        return documents.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
-            F.expr(f"{pct}[0]").cast("double").alias("p50"),
-            F.expr(f"{pct}[1]").cast("double").alias("p90"),
-            F.expr(f"{pct}[2]").cast("double").alias("p99"),
+        return (
+            documents.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+                F.expr(pct).alias("_p"),
+            )
+            .select(
+                "lang",
+                "n_docs",
+                "mean_chars",
+                F.col("_p")[0].cast("double").alias("p50"),
+                F.col("_p")[1].cast("double").alias("p90"),
+                F.col("_p")[2].cast("double").alias("p99"),
+            )
         )
     return documents.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
