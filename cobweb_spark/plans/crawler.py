@@ -791,11 +791,23 @@ class SparkCrawler:
                 )
                 if engaged:
                     if bank_lagging:
-                        # first engagement: bulk-sync the bank from the full
-                        # seen set (one cogroup pass ≈ one anti-join's worth
-                        # of work, paid once) — cheaper than per-wave
-                        # maintenance on every crawl that never engages
-                        self.prefilter.add(seen)
+                        # first engagement: bulk-sync the bank from the
+                        # accumulated seen PARTS (one cogroup pass ≈ one
+                        # anti-join's worth of work, paid once) — cheaper
+                        # than per-wave maintenance on every crawl that
+                        # never engages. Round 7: sync from the part
+                        # frames, not the string union — in slim mode they
+                        # already hold the 8-byte keys, so the cogroup
+                        # skips re-hashing |seen| URL strings. This wave's
+                        # redirect finals are not in any part yet; they
+                        # ride the miss-backstop chain below exactly as on
+                        # the amortized-maintenance path.
+                        bulk = seen_parts[0]
+                        for p in seen_parts[1:]:
+                            bulk = bulk.unionByName(p)
+                        self.prefilter.add(
+                            bulk, key_col=part_col, key_is_hash=slim
+                        )
                         bank_lagging = False
                         bank_synced_parts = len(seen_parts)
                     elif (

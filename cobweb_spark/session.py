@@ -113,6 +113,14 @@ def get_spark(
         # cores at local[32] and made everything slower — per-task
         # scheduling overhead beats the extra parallelism here.)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # the default 4MB open-cost FLOORS split sizes: a 73MB
+        # single-file corpus scanned on 32 cores gets 19 four-MB splits
+        # instead of the 32 the minPartitionNum target asks for, leaving
+        # a third of the cores idle under the Python extraction stage
+        # (round 7, measured: 8.2s -> 6.1s for the full-corpus extract).
+        # 1MB still amortizes a local file open; the corpus files here
+        # are row-group-dense (~1.4MB groups), so finer splits stay real.
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(8 * 1024 * 1024),
