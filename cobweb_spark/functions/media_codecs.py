@@ -414,6 +414,12 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
+        if payload[pos + 1] == 0xFF:
+            # T.81 B.1.1.2: a marker may be preceded by any number of
+            # 0xFF fill bytes — skip them instead of misparsing the fill
+            # byte as a marker with a length prefix (round-6 advice)
+            pos += 1
+            continue
         marker = payload[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2

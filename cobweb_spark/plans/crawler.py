@@ -997,7 +997,12 @@ class SparkCrawler:
                     frontier = empty_frontier
                     n_frontier = 0
                 elif deferred is not None:
-                    frontier = deferred.unionByName(new_frontier).localCheckpoint()
+                    # lazy: the count right below is the first action and
+                    # materializes the checkpoint inside its own job — one
+                    # job per wave instead of two (round 7, VERDICT #2a)
+                    frontier = deferred.unionByName(
+                        new_frontier
+                    ).localCheckpoint(eager=False)
                     n_frontier = frontier.count()
                 else:
                     frontier = new_frontier

@@ -64,6 +64,25 @@ def _crawl_surface(spark, docs, seeds, **kw):
     return mode, pages, seen, edges, res.n_waves
 
 
+class TestJpegFillBytes:
+    def test_fill_bytes_before_marker_decode(self):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; the decoder previously misparsed the fill byte as a
+        # marker + length and returned None (round-6 advice)
+        from cobweb_spark.functions.media_codecs import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        payload = encode_jpeg(24, 16, seed=3)
+        base = decode_jpeg_pixels(payload)
+        assert base is not None
+        # inject two fill bytes before the first post-SOI marker
+        assert payload[:3] == b"\xff\xd8\xff"
+        stuffed = payload[:2] + b"\xff\xff" + payload[2:]
+        assert decode_jpeg_pixels(stuffed) == base
+
+
 class TestDictEdgeParity:
     def test_plain_bfs_parity(self, spark, small_scale):
         docs, seeds = small_scale
