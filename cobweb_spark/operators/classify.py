@@ -137,6 +137,13 @@ def robots_gate(
         n_hosts = rules_df.count()
     if n_hosts == 0:
         return candidates
+    # the rules' key is renamed BEFORE the join: the caller's frame may
+    # carry its own ``host`` column (precomputed edge table / dictionary
+    # layout), and ``drop("host")`` after an ambiguous join would drop
+    # BOTH — stripping the column frontier emission reads (latent since
+    # the edges path gained a host column; exposed by the round-7
+    # dict+robots parity test)
+    rules_df = rules_df.withColumnRenamed("host", "__rules_host")
     if n_hosts <= ROBOTS_BROADCAST_MAX_HOSTS:
         rules_df = F.broadcast(rules_df)
     # ``host_col``: caller already carries the link's host (precomputed
@@ -148,7 +155,7 @@ def robots_gate(
     path = F.parse_url(F.col("link"), F.lit("PATH"))
     joined = with_host.join(
         rules_df,
-        with_host["__host"] == rules_df["host"],
+        with_host["__host"] == rules_df["__rules_host"],
         "left",
     )
     allowed = (
@@ -157,7 +164,7 @@ def robots_gate(
         | ~F.rlike(path, F.col("disallow_re"))
     )
     return joined.filter(allowed).drop(
-        "__host", "host", "allow_re", "disallow_re"
+        "__host", "__rules_host", "allow_re", "disallow_re"
     )
 
 

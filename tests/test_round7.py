@@ -94,6 +94,62 @@ class TestDictEdgeParity:
         assert (m_dict, m_cls) == ("dict", "classic")
         assert dict_surface == cls_surface
 
+    def test_robots_parity(self, spark, small_scale):
+        # the dictionary layout defers the robots gate to AFTER dedup +
+        # seen rejection (the predicate is a function of the link alone)
+        # — must yield the identical surface to the classic pre-dedup
+        # gate on a corpus where rules actually reject links
+        from cobweb_spark.sources.corpus import robots_df
+
+        docs, seeds = small_scale
+        rules = robots_df(
+            spark,
+            [
+                ("host1.example.com", "*", "disallow", "/p1", 0),
+                ("host2.example.com", "*", "disallow", "/", 0),
+                ("host3.example.com", "cobweb", "allow", "/p2", 0),
+                ("host3.example.com", "cobweb", "disallow", "/", 1),
+            ],
+        )
+
+        def run(**kw):
+            base = dict(
+                internal_urls=["http://*"],
+                seed_urls=seeds,
+                store_inbound_links=False,
+                precompute_edges=True,
+                obey_robots=True,
+            )
+            base.update(kw)
+            from cobweb_spark.config import CrawlConfig
+
+            crawler = SparkCrawler(
+                spark, docs, CrawlConfig(**base), robots=rules
+            )
+            res = crawler.crawl(None)
+            pages = sorted(
+                tuple(r)
+                for r in res.pages.select(
+                    "url", "depth", "discovery_order", "fetch_order"
+                ).collect()
+            )
+            seen = sorted(r["url"] for r in res.seen.collect())
+            mode = "dict" if crawler._edge_dict is not None else "classic"
+            crawler.close()
+            return mode, pages, seen
+
+        m_dict, *d_surface = run()
+        m_cls, *c_surface = run(store_inbound_links=True)
+        assert (m_dict, m_cls) == ("dict", "classic")
+        assert d_surface == c_surface
+        # the rules actually bit: beyond the (filter-exempt) seeds, no
+        # host2 link may have been enqueued
+        n_host2_seeds = sum("host2.example.com" in s for s in seeds)
+        n_host2_seen = sum(
+            "host2.example.com" in u for u in d_surface[1]
+        )
+        assert n_host2_seen == n_host2_seeds
+
     def test_budget_parity(self, spark, small_scale):
         # politeness admission + the unified bucketed discovery_order
         # assignment (round 7 removed the budget path's range-sampling
